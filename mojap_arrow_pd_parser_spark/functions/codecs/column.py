@@ -1,0 +1,402 @@
+"""Column-chunk codec: encode/decode a ``pa.Array`` to ``(meta, payload)``.
+
+The generalization of the reference's per-column cast dispatch
+(/root/reference/arrow_pd_parser/caster.py:354-417 dispatches a cast per
+column; here we dispatch a *codec* per column-chunk) with the same
+contract: ``decode_array(encode_array(x)) == x`` logically bit-identical
+(null slots canonicalized, values preserved exactly).
+
+Type coverage mirrors the reference's type table (SURVEY.md §1.2) plus
+the types it punts on (list/struct warning at caster.py:367,398-402):
+
+* integers int8..int64 / uint8..uint64  -> int codec suite
+* float32/float64                        -> int codec on the IEEE bit view
+* bool                                   -> int codec on uint8 (FOR width 1)
+* date32/date64/timestamp/time/duration  -> int codec on physical ints
+* string/large_string/binary             -> dict | FSST | plain on bytes
+* list<integer-like> (the tokens column) -> lengths + recursive values
+* dictionary<...>                        -> decoded then re-encoded
+
+``meta`` is JSON-serializable; ``payload`` is a single bytes buffer of
+concatenated sections. Null handling: a packed validity-bitmap section;
+null value slots are canonicalized to zero/empty before encoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst
+from .intcodec import decode_int, encode_int
+
+FORMAT_VERSION = 1
+
+_INT_LIKE = {
+    "int8": np.int8,
+    "int16": np.int16,
+    "int32": np.int32,
+    "int64": np.int64,
+    "uint8": np.uint8,
+    "uint16": np.uint16,
+    "uint32": np.uint32,
+    "uint64": np.uint64,
+}
+
+
+def _physical_int_type(t: pa.DataType):
+    """(pa storage int type, numpy dtype) for integer-like arrow types."""
+    if pa.types.is_integer(t):
+        return t, _INT_LIKE[str(t)]
+    if pa.types.is_date32(t):
+        return pa.int32(), np.int32
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return pa.int64(), np.int64
+    if pa.types.is_time32(t):
+        return pa.int32(), np.int32
+    if pa.types.is_time64(t):
+        return pa.int64(), np.int64
+    return None, None
+
+
+class _SectionWriter:
+    def __init__(self):
+        self.metas: list[dict] = []
+        self.parts: list[bytes] = []
+
+    def add(self, name: str, meta: dict, payload: bytes):
+        self.metas.append({"name": name, "len": len(payload), "meta": meta})
+        self.parts.append(payload)
+
+    def finish(self) -> tuple[list[dict], bytes]:
+        return self.metas, b"".join(self.parts)
+
+
+class _SectionReader:
+    def __init__(self, metas: list[dict], payload: bytes):
+        self.sections = {}
+        off = 0
+        for s in metas:
+            self.sections[s["name"]] = (s["meta"], payload[off : off + s["len"]])
+            off += s["len"]
+
+    def get(self, name: str):
+        return self.sections[name]
+
+    def has(self, name: str) -> bool:
+        return name in self.sections
+
+
+def _validity_mask(arr: pa.Array) -> np.ndarray | None:
+    if arr.null_count == 0:
+        return None
+    return np.asarray(arr.is_null())
+
+
+def _add_validity(w: _SectionWriter, mask: np.ndarray | None):
+    if mask is not None:
+        w.add("validity", {"n": len(mask)}, np.packbits(mask).tobytes())
+
+
+def _read_validity(r: _SectionReader) -> np.ndarray | None:
+    if not r.has("validity"):
+        return None
+    meta, buf = r.get("validity")
+    return np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), count=meta["n"]
+    ).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def encode_array(arr: pa.Array) -> tuple[dict, bytes]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    meta: dict = {"v": FORMAT_VERSION, "type": str(t), "n": len(arr)}
+    w = _SectionWriter()
+    mask = _validity_mask(arr)
+    _add_validity(w, mask)
+
+    storage_t, np_dtype = _physical_int_type(t)
+    if storage_t is not None:
+        kind = "int"
+        vals = _int_values(arr, storage_t, np_dtype, mask)
+        im, ip = encode_int(vals)
+        w.add("values", im, ip)
+    elif pa.types.is_floating(t):
+        kind = "float"
+        np_f = np.float32 if pa.types.is_float32(t) else np.float64
+        np_u = np.uint32 if pa.types.is_float32(t) else np.uint64
+        vals = _float_values(arr, np_f, mask).view(np_u)
+        im, ip = encode_int(vals, allow=("plain", "ffor", "rle", "dict"))
+        w.add("values", im, ip)
+    elif pa.types.is_boolean(t):
+        kind = "bool"
+        vals = _bool_values(arr, mask)
+        im, ip = encode_int(vals, allow=("plain", "ffor", "rle"))
+        w.add("values", im, ip)
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        kind = "str"
+        _encode_str(arr, mask, w, meta)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        kind = "list"
+        lengths = pc.list_value_length(arr)
+        lengths = pc.fill_null(lengths, 0)
+        lens_np = np.asarray(lengths).astype(np.int64)
+        lm, lp = encode_int(lens_np)
+        w.add("lengths", lm, lp)
+        values = arr.flatten()  # excludes null slots' ranges
+        vmeta, vpay = encode_array(values)
+        w.add("child", vmeta, vpay)
+    else:
+        raise NotImplementedError(f"encode_array: unsupported type {t}")
+
+    meta["kind"] = kind
+    meta["sections"], payload = w.finish()
+    return meta, payload
+
+
+def _int_values(arr, storage_t, np_dtype, mask):
+    ints = arr.view(storage_t)
+    if mask is not None:
+        ints = pc.fill_null(ints, 0)
+    return np.asarray(ints).astype(np_dtype, copy=False)
+
+
+def _float_values(arr, np_f, mask):
+    if mask is not None:
+        arr = pc.fill_null(arr, 0.0)
+    return np.asarray(arr).astype(np_f, copy=False)
+
+
+def _bool_values(arr, mask):
+    if mask is not None:
+        arr = pc.fill_null(arr, False)
+    return np.asarray(arr).astype(np.uint8)
+
+
+_STR_NDV_SAMPLE = 4096
+
+
+def _encode_str(arr: pa.Array, mask, w: _SectionWriter, meta: dict):
+    """dict | fsst | plain selection for string/binary chunks (N2/N4/N7)."""
+    n = len(arr)
+    if mask is not None:
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) else b"")
+    lens_np = np.asarray(pc.binary_length(arr)).astype(np.int64) if n else np.zeros(0, np.int64)
+    total_bytes = int(lens_np.sum()) if n else 0
+
+    # --- cost probe ------------------------------------------------------
+    if n:
+        step = max(1, n // _STR_NDV_SAMPLE)
+        sample = arr[::step] if step > 1 else arr
+        ndv_s = len(pc.unique(sample))
+        if len(sample) < n and ndv_s > len(sample) // 2:
+            ndv_est = n
+        else:
+            ndv_est = max(ndv_s, 1)
+        avg_len = total_bytes / n if n else 0
+        sample_bytes = b"".join(
+            v.as_py().encode() if isinstance(v.as_py(), str) else (v.as_py() or b"")
+            for v in sample[:256]
+        )
+        from .intcodec import estimate_int_sizes, int_stats
+
+        len_cost = min(estimate_int_sizes(int_stats(lens_np)).values())
+        est_plain = total_bytes + len_cost
+        est_fsst = fsst.estimate(sample_bytes, total_bytes) + len_cost
+        from .bitpack import bit_width, packed_nbytes
+
+        est_dict = (
+            int(ndv_est * avg_len)
+            + packed_nbytes(n, bit_width(max(ndv_est - 1, 0)))
+            + 128
+        )
+    else:
+        est_plain, est_fsst, est_dict = 0, 1, 2
+
+    choice = min(
+        (("plain", est_plain), ("fsst", est_fsst), ("dict", est_dict)),
+        key=lambda kv: kv[1],
+    )[0]
+
+    if choice == "dict" and n:
+        denc = arr.dictionary_encode()
+        indices = pc.fill_null(denc.indices, 0)
+        idx_np = np.asarray(indices).astype(np.int64)
+        im, ip = encode_int(idx_np)
+        w.add("codes", im, ip)
+        dmeta, dpay = encode_array(denc.dictionary)
+        w.add("strdict", dmeta, dpay)
+        meta["str_codec"] = "dict"
+        return
+
+    lm, lp = encode_int(lens_np)
+    w.add("lengths", lm, lp)
+    data = _string_data_bytes(arr)
+    if choice == "fsst" and total_bytes:
+        table = fsst.train(data[: 1 << 16])
+        codes, lits = fsst.encode(data, table)
+        if len(codes) + len(lits) < len(data):
+            sym_lens, sym_buf = fsst.serialize_table(table)
+            fm = {
+                "sym_lens": sym_lens,
+                "table_len": len(sym_buf),
+                "n_codes": len(codes),
+                "n_lits": len(lits),
+            }
+            w.add("fsst", fm, sym_buf + codes + lits)
+            meta["str_codec"] = "fsst"
+            return
+    w.add("bytes", {"len": len(data)}, data)
+    meta["str_codec"] = "plain"
+
+
+def _string_data_bytes(arr: pa.Array) -> bytes:
+    """Concatenated UTF-8/bytes payload of a (null-free) string array."""
+    if len(arr) == 0:
+        return b""
+    # normalize offsets by recombining: cheapest is cast to large_binary and
+    # read child buffer honoring offset
+    la = arr.cast(pa.large_binary())
+    buf_off = np.frombuffer(la.buffers()[1], dtype=np.int64, offset=la.offset * 8, count=len(la) + 1)
+    data = la.buffers()[2]
+    return data.to_pybytes()[buf_off[0] : buf_off[-1]] if data is not None else b""
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def decode_array(meta: dict, payload: bytes) -> pa.Array:
+    t = _parse_type(meta["type"])
+    n = meta["n"]
+    r = _SectionReader(meta["sections"], payload)
+    mask = _read_validity(r)
+    kind = meta["kind"]
+
+    if kind == "int":
+        im, ip = r.get("values")
+        vals = decode_int(im, ip)
+        storage_t, _ = _physical_int_type(t)
+        arr = pa.array(vals, type=storage_t).view(t)
+    elif kind == "float":
+        im, ip = r.get("values")
+        bits = decode_int(im, ip)
+        np_f = np.float32 if pa.types.is_float32(t) else np.float64
+        arr = pa.array(bits.view(np_f), type=t)
+    elif kind == "bool":
+        im, ip = r.get("values")
+        arr = pa.array(decode_int(im, ip).astype(bool), type=t)
+    elif kind == "str":
+        arr = _decode_str(meta, r, t, n)
+    elif kind == "list":
+        lm, lp = r.get("lengths")
+        lens = decode_int(lm, lp).astype(np.int64)
+        cm, cp_meta = r.get("child")
+        values = decode_array(cm, cp_meta)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        if pa.types.is_large_list(t):
+            arr = pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), values
+            )
+        else:
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()), values
+            )
+        arr = arr.cast(t)
+    else:
+        raise NotImplementedError(f"decode_array: unsupported kind {kind}")
+
+    if mask is not None:
+        arr = _apply_mask(arr, mask)
+    return arr
+
+
+def _decode_str(meta: dict, r: _SectionReader, t: pa.DataType, n: int) -> pa.Array:
+    sc = meta.get("str_codec", "plain")
+    if sc == "dict":
+        im, ip = r.get("codes")
+        codes = decode_int(im, ip).astype(np.int32)
+        dm, dp = r.get("strdict")
+        dictionary = decode_array(dm, dp)
+        arr = pa.DictionaryArray.from_arrays(pa.array(codes), dictionary)
+        return arr.cast(t)
+    lm, lp = r.get("lengths")
+    lens = decode_int(lm, lp).astype(np.int64)
+    if sc == "fsst":
+        fm, fp = r.get("fsst")
+        tl = fm["table_len"]
+        table = fsst.deserialize_table(fm["sym_lens"], fp[:tl])
+        codes = fp[tl : tl + fm["n_codes"]]
+        lits = fp[tl + fm["n_codes"] :]
+        data = fsst.decode(codes, lits, table)
+    else:
+        _, data = r.get("bytes")
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    values_buf = pa.py_buffer(data)
+    la = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets.astype(np.int64)), values_buf]
+    )
+    return la.cast(t)
+
+
+def _apply_mask(arr: pa.Array, mask: np.ndarray) -> pa.Array:
+    """Reinstate nulls at masked positions (values there are canonical zeros)."""
+    return pc.if_else(pa.array(~mask), arr, pa.nulls(len(arr), arr.type))
+
+
+def _parse_type(s: str) -> pa.DataType:
+    simple = {
+        "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+        "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
+        "uint32": pa.uint32(), "uint64": pa.uint64(),
+        "float": pa.float32(), "float32": pa.float32(),
+        "double": pa.float64(), "float64": pa.float64(),
+        "bool": pa.bool_(), "string": pa.string(),
+        "large_string": pa.large_string(), "binary": pa.binary(),
+        "large_binary": pa.large_binary(),
+        "date32[day]": pa.date32(), "date64[ms]": pa.date64(),
+    }
+    if s in simple:
+        return simple[s]
+    if s.startswith("timestamp"):
+        unit = s.split("[")[1].rstrip("]").split(",")[0].strip()
+        tz = None
+        if "tz=" in s:
+            tz = s.split("tz=")[1].rstrip("]")
+        return pa.timestamp(unit, tz)
+    if s.startswith("duration"):
+        return pa.duration(s.split("[")[1].rstrip("]"))
+    if s.startswith("time32"):
+        return pa.time32(s.split("[")[1].rstrip("]"))
+    if s.startswith("time64"):
+        return pa.time64(s.split("[")[1].rstrip("]"))
+    if s.startswith("list<") and s.endswith(">"):
+        name, inner = _split_field(s[5:-1])
+        return pa.list_(pa.field(name, _parse_type(inner)))
+    if s.startswith("large_list<") and s.endswith(">"):
+        name, inner = _split_field(s[11:-1])
+        return pa.large_list(pa.field(name, _parse_type(inner)))
+    raise NotImplementedError(f"cannot parse arrow type string: {s}")
+
+
+def _split_field(inner: str) -> tuple[str, str]:
+    """``element: float`` -> (child field name, bare type string).
+
+    The child field name precedes the first ``": "`` only when no ``<``
+    comes before it; bare type strings default to Arrow's ``item``.
+    """
+    head, sep, tail = inner.partition(": ")
+    if sep and "<" not in head:
+        return head, tail
+    return "item", inner

@@ -1,0 +1,315 @@
+"""Integer codec suite: plain, FOR+bitpack, delta(+zigzag), RLE, dictionary.
+
+Each codec takes a 1-D numpy integer array (no nulls at this layer —
+validity is handled by the column codec) and returns ``(meta, payload)``
+where ``meta`` is a small JSON-serializable dict and ``payload`` is one
+``bytes`` buffer. ``decode_int(meta, payload)`` is the exact inverse —
+bit-identical round-trip for every integer dtype including full-range
+int64/uint64 (all arithmetic is done in wraparound uint64 space).
+
+``choose_int_codec`` implements the sampled cost model (SURVEY.md §2.6
+N7): one vectorized stats pass over the chunk, analytic size estimates
+per candidate, argmin, encode winner, fall back to plain if the actual
+payload regressed. This mirrors — per column-chunk and dynamic — the
+reference's static engine-per-format registry
+(/root/reference/arrow_pd_parser/_readers.py:410-471).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import bit_width, pack, packed_nbytes, unpack
+
+# Sub-sample cap for the (n log n) distinct-count probe.
+_NDV_SAMPLE = 1 << 16
+
+_META_OVERHEAD = 64  # rough per-block JSON/meta bytes, used by the estimator
+
+
+def _to_u64(a: np.ndarray) -> np.ndarray:
+    """Canonical wraparound domain: two's-complement view in uint64."""
+    if a.dtype.kind == "u":
+        return a.astype(np.uint64)
+    return a.astype(np.int64).view(np.uint64)
+
+
+def _from_u64(u: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    if dtype.kind == "u":
+        return u.astype(dtype)
+    return u.view(np.int64).astype(dtype)
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    """Zigzag-encode int64-viewed uint64 values -> uint64 (small for ±small)."""
+    s = x.view(np.int64)
+    return ((s << 1) ^ (s >> 63)).view(np.uint64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    return ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).view(
+        np.uint64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stats + cost model
+# ---------------------------------------------------------------------------
+
+
+def int_stats(a: np.ndarray) -> dict:
+    """One cheap vectorized pass of chunk statistics for the cost model."""
+    n = len(a)
+    itemsize = a.dtype.itemsize
+    if n == 0:
+        return {
+            "n": 0,
+            "itemsize": itemsize,
+            "for_width": 0,
+            "delta_width": 0,
+            "n_runs": 0,
+            "ndv_est": 0,
+        }
+    u = _to_u64(a)
+    ref = u.min() if a.dtype.kind == "u" else None
+    if ref is None:
+        # Signed: min in signed space, then its u64 image as the FOR ref.
+        smin = u.view(np.int64).min()
+        ref = np.uint64(smin)
+    with np.errstate(over="ignore"):
+        for_deltas = u - ref
+        for_width = bit_width(int(for_deltas.max()))
+        if n > 1:
+            d = u[1:] - u[:-1]
+            zz = _zigzag(d)
+            delta_width = bit_width(int(zz.max()))
+            n_runs = 1 + int(np.count_nonzero(d))
+        else:
+            delta_width = 0
+            n_runs = 1
+    if n > _NDV_SAMPLE:
+        step = n // _NDV_SAMPLE
+        sample = a[::step]
+    else:
+        sample = a
+    ndv_s = len(np.unique(sample))
+    if len(sample) < n and ndv_s > len(sample) // 2:
+        ndv_est = n  # looks all-distinct; dict won't help
+    else:
+        ndv_est = ndv_s
+    return {
+        "n": n,
+        "itemsize": itemsize,
+        "for_width": for_width,
+        "delta_width": delta_width,
+        "n_runs": n_runs,
+        "ndv_est": max(ndv_est, 1),
+    }
+
+
+def estimate_int_sizes(st: dict) -> dict:
+    """Analytic encoded-size estimate (bytes) per codec from stats."""
+    n = st["n"]
+    if n == 0:
+        return {"plain": 0, "ffor": 0, "delta": 0, "rle": 0, "dict": 0}
+    runs = st["n_runs"]
+    ndv = st["ndv_est"]
+    dict_codes_w = bit_width(ndv - 1)
+    return {
+        "plain": n * st["itemsize"],
+        "ffor": packed_nbytes(n, st["for_width"]) + _META_OVERHEAD,
+        "delta": packed_nbytes(n - 1, st["delta_width"]) + 8 + _META_OVERHEAD,
+        # run values ~ffor-packed + run lengths ~32-bit worst case est
+        "rle": (
+            packed_nbytes(runs, st["for_width"])
+            + packed_nbytes(runs, 32)
+            + 2 * _META_OVERHEAD
+        ),
+        "dict": (
+            ndv * st["itemsize"]
+            + packed_nbytes(n, dict_codes_w)
+            + 2 * _META_OVERHEAD
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Codecs
+# ---------------------------------------------------------------------------
+
+
+def _enc_plain(a: np.ndarray) -> tuple[dict, bytes]:
+    le = a.astype(a.dtype.newbyteorder("<"), copy=False)
+    return {"codec": "plain", "n": len(a), "dtype": a.dtype.str}, le.tobytes()
+
+
+def _enc_ffor(a: np.ndarray) -> tuple[dict, bytes]:
+    u = _to_u64(a)
+    if a.dtype.kind == "u":
+        ref = np.uint64(u.min()) if len(a) else np.uint64(0)
+    else:
+        ref = (
+            np.uint64(u.view(np.int64).min()) if len(a) else np.uint64(0)
+        )
+    with np.errstate(over="ignore"):
+        deltas = u - ref
+    width = bit_width(int(deltas.max())) if len(a) else 0
+    meta = {
+        "codec": "ffor",
+        "n": len(a),
+        "dtype": a.dtype.str,
+        "ref": int(ref),
+        "width": width,
+    }
+    return meta, pack(deltas, width)
+
+
+def _dec_ffor(meta: dict, payload: bytes) -> np.ndarray:
+    deltas = unpack(payload, meta["width"], meta["n"])
+    with np.errstate(over="ignore"):
+        u = deltas + np.uint64(meta["ref"])
+    return _from_u64(u, np.dtype(meta["dtype"]))
+
+
+def _enc_delta(a: np.ndarray) -> tuple[dict, bytes]:
+    n = len(a)
+    u = _to_u64(a)
+    if n == 0:
+        return (
+            {
+                "codec": "delta",
+                "n": 0,
+                "dtype": a.dtype.str,
+                "first": 0,
+                "width": 0,
+            },
+            b"",
+        )
+    with np.errstate(over="ignore"):
+        zz = _zigzag(u[1:] - u[:-1]) if n > 1 else np.zeros(0, np.uint64)
+    width = bit_width(int(zz.max())) if n > 1 else 0
+    meta = {
+        "codec": "delta",
+        "n": n,
+        "dtype": a.dtype.str,
+        "first": int(u[0]),
+        "width": width,
+    }
+    return meta, pack(zz, width)
+
+
+def _dec_delta(meta: dict, payload: bytes) -> np.ndarray:
+    n = meta["n"]
+    dtype = np.dtype(meta["dtype"])
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    zz = unpack(payload, meta["width"], n - 1)
+    d = _unzigzag(zz)
+    u = np.empty(n, dtype=np.uint64)
+    u[0] = np.uint64(meta["first"])
+    with np.errstate(over="ignore"):
+        np.cumsum(d, out=u[1:]) if n > 1 else None
+        u[1:] += u[0]
+    return _from_u64(u, dtype)
+
+
+def _enc_rle(a: np.ndarray) -> tuple[dict, bytes]:
+    n = len(a)
+    if n == 0:
+        run_values = a
+        run_lengths = np.zeros(0, dtype=np.int64)
+    else:
+        u = _to_u64(a)
+        with np.errstate(over="ignore"):
+            change = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        run_values = a[starts]
+        run_lengths = (ends - starts).astype(np.int64)
+    vmeta, vpay = encode_int(run_values, codec=None, allow=("plain", "ffor", "delta", "dict"))
+    lmeta, lpay = _enc_ffor(run_lengths)
+    meta = {
+        "codec": "rle",
+        "n": n,
+        "dtype": a.dtype.str,
+        "values": vmeta,
+        "values_len": len(vpay),
+        "lengths": lmeta,
+    }
+    return meta, vpay + lpay
+
+
+def _dec_rle(meta: dict, payload: bytes) -> np.ndarray:
+    vlen = meta["values_len"]
+    run_values = decode_int(meta["values"], payload[:vlen])
+    run_lengths = _dec_ffor(meta["lengths"], payload[vlen:])
+    return np.repeat(run_values, run_lengths.astype(np.int64))
+
+
+def _enc_dict(a: np.ndarray) -> tuple[dict, bytes]:
+    uniq, codes = np.unique(a, return_inverse=True)
+    vmeta, vpay = encode_int(uniq, codec=None, allow=("plain", "ffor", "delta"))
+    cmeta, cpay = _enc_ffor(codes.astype(np.uint64).view(np.int64))
+    meta = {
+        "codec": "dict",
+        "n": len(a),
+        "dtype": a.dtype.str,
+        "values": vmeta,
+        "values_len": len(vpay),
+        "codes": cmeta,
+    }
+    return meta, vpay + cpay
+
+
+def _dec_dict(meta: dict, payload: bytes) -> np.ndarray:
+    vlen = meta["values_len"]
+    uniq = decode_int(meta["values"], payload[:vlen])
+    codes = _dec_ffor(meta["codes"], payload[vlen:]).view(np.uint64)
+    return uniq[codes.astype(np.int64)]
+
+
+_ENCODERS = {
+    "plain": _enc_plain,
+    "ffor": _enc_ffor,
+    "delta": _enc_delta,
+    "rle": _enc_rle,
+    "dict": _enc_dict,
+}
+
+_DECODERS = {
+    "plain": lambda m, p: np.frombuffer(
+        p, dtype=np.dtype(m["dtype"]).newbyteorder("<"), count=m["n"]
+    ).astype(np.dtype(m["dtype"])),
+    "ffor": _dec_ffor,
+    "delta": _dec_delta,
+    "rle": _dec_rle,
+    "dict": _dec_dict,
+}
+
+
+def choose_int_codec(a: np.ndarray, allow: tuple = None) -> str:
+    """Pick the estimated-smallest codec for this chunk (SURVEY N7)."""
+    st = int_stats(a)
+    est = estimate_int_sizes(st)
+    if allow:
+        est = {k: v for k, v in est.items() if k in allow}
+    return min(est, key=est.get)
+
+
+def encode_int(
+    a: np.ndarray, codec: str | None = None, allow: tuple = None
+) -> tuple[dict, bytes]:
+    """Encode with ``codec`` or auto-select; guard against regression vs plain."""
+    if a.ndim != 1 or a.dtype.kind not in "iu":
+        raise TypeError(f"encode_int needs a 1-D integer array, got {a.dtype}")
+    if codec is None:
+        codec = choose_int_codec(a, allow)
+    meta, payload = _ENCODERS[codec](a)
+    if codec != "plain" and len(payload) >= len(a) * a.dtype.itemsize:
+        return _enc_plain(a)
+    return meta, payload
+
+
+def decode_int(meta: dict, payload: bytes) -> np.ndarray:
+    return _DECODERS[meta["codec"]](meta, payload)
