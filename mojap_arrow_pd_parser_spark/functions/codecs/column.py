@@ -113,7 +113,25 @@ def _read_validity(r: _SectionReader) -> np.ndarray | None:
 # ---------------------------------------------------------------------------
 
 
-def encode_array(arr: pa.Array) -> tuple[dict, bytes]:
+# Outer cascade compressor applied to the assembled column payload when
+# it wins (>10% smaller). The lightweight codecs capture structure
+# (runs, frames, dictionaries); the cascade captures residual byte-level
+# repetition the way parquet layers snappy over its own encodings —
+# required to meet the <=parquet-snappy bound on locally-repetitive but
+# globally-high-cardinality data. "lz4" trades a little ratio for
+# throughput; None disables.
+DEFAULT_CASCADE = "zstd"
+
+
+def _cascade_codec(name: str):
+    import pyarrow as _pa
+
+    return _pa.Codec(name, compression_level=1 if name == "zstd" else None)
+
+
+def encode_array(
+    arr: pa.Array, cascade: str | None = DEFAULT_CASCADE, _outer: bool = True
+) -> tuple[dict, bytes]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -154,13 +172,20 @@ def encode_array(arr: pa.Array) -> tuple[dict, bytes]:
         lm, lp = encode_int(lens_np)
         w.add("lengths", lm, lp)
         values = arr.flatten()  # excludes null slots' ranges
-        vmeta, vpay = encode_array(values)
+        vmeta, vpay = encode_array(values, cascade=None, _outer=False)
         w.add("child", vmeta, vpay)
     else:
         raise NotImplementedError(f"encode_array: unsupported type {t}")
 
     meta["kind"] = kind
     meta["sections"], payload = w.finish()
+    if _outer and cascade and len(payload) > 64:
+        codec = _cascade_codec(cascade)
+        compressed = codec.compress(payload, asbytes=True)
+        if len(compressed) < 0.9 * len(payload):
+            meta["outer"] = cascade
+            meta["outer_raw_len"] = len(payload)
+            payload = compressed
     return meta, payload
 
 
@@ -234,7 +259,7 @@ def _encode_str(arr: pa.Array, mask, w: _SectionWriter, meta: dict):
         idx_np = np.asarray(indices).astype(np.int64)
         im, ip = encode_int(idx_np)
         w.add("codes", im, ip)
-        dmeta, dpay = encode_array(denc.dictionary)
+        dmeta, dpay = encode_array(denc.dictionary, cascade=None, _outer=False)
         w.add("strdict", dmeta, dpay)
         meta["str_codec"] = "dict"
         return
@@ -278,6 +303,10 @@ def _string_data_bytes(arr: pa.Array) -> bytes:
 
 
 def decode_array(meta: dict, payload: bytes) -> pa.Array:
+    if meta.get("outer"):
+        payload = _cascade_codec(meta["outer"]).decompress(
+            payload, meta["outer_raw_len"], asbytes=True
+        )
     t = _parse_type(meta["type"])
     n = meta["n"]
     r = _SectionReader(meta["sections"], payload)

@@ -1,0 +1,115 @@
+"""Distributed decode + round-trip verification (N8, N14).
+
+Decode reads the encoded chunk files (ordinary parquet scan — column
+pruning applies: verifying only ``doc_id`` prunes every other payload),
+groups rows by chunk and reassembles the original columns via the codec
+kernels inside one ``applyInArrow``. Checksums are verified per column
+payload before decoding.
+
+``verify_roundtrip`` is the engine's flagship invariant — the
+generalization of the reference's round-trip matrix
+(/root/reference/tests/test_round_trip.py:40-74,
+``assert_frame_equal(original, final)``): decode(encode(x)) must be
+bit-identical per row, checked distributed with a null-safe
+column-by-column comparison after an equi-join on the key (token-array
+equality is native in Spark — no UDF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def load_plan(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "plan.json")) as f:
+        return json.load(f)
+
+
+def decode_table(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    verify_checksums: bool = True,
+) -> DataFrame:
+    """Decode an encoded table back to its original schema (lazy)."""
+    plan = load_plan(out_dir)
+    full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
+    names = columns or [f.name for f in full_schema.fields]
+    out_schema = StructType([f for f in full_schema.fields if f.name in names])
+    enc = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    enc = enc.filter(F.col("column").isin(names)).select(
+        "chunk_id", "column", "meta", "payload", "crc32"
+    )
+
+    arrow_schema_names = [f.name for f in out_schema.fields]
+
+    def decode_group(table: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_array
+
+        by_col = {}
+        metas = table.column("meta").to_pylist()
+        crcs = table.column("crc32").to_pylist()
+        cols = table.column("column").to_pylist()
+        payloads = table.column("payload")
+        for i, name in enumerate(cols):
+            payload = payloads[i].as_py()
+            if verify_checksums and f"{zlib.crc32(payload):08x}" != crcs[i]:
+                raise IOError(
+                    f"checksum mismatch decoding column {name!r} "
+                    f"(chunk {table.column('chunk_id')[0].as_py()})"
+                )
+            by_col[name] = decode_array(json.loads(metas[i]), payload)
+        arrays = [by_col[n] for n in arrow_schema_names]
+        return pa.Table.from_arrays(arrays, names=arrow_schema_names)
+
+    return enc.groupBy("chunk_id").applyInArrow(decode_group, schema=out_schema)
+
+
+def verify_roundtrip(
+    spark: SparkSession,
+    original: DataFrame,
+    out_dir: str,
+    key: str = "doc_id",
+) -> dict:
+    """decode(encode(x)) == x, distributed. Returns summary counts.
+
+    Raises AssertionError on any mismatching row.
+    """
+    decoded = decode_table(spark, out_dir)
+    cols = [c for c in original.columns if c != key]
+    o = original.alias("o")
+    d = decoded.alias("d")
+    joined = o.join(d, F.col(f"o.{key}") == F.col(f"d.{key}"), "full_outer")
+    mismatch_cond = (
+        F.col(f"o.{key}").isNull() | F.col(f"d.{key}").isNull()
+    )
+    for c in cols:
+        mismatch_cond = mismatch_cond | ~F.col(f"o.{c}").eqNullSafe(F.col(f"d.{c}"))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(mismatch_cond, 1).otherwise(0)).alias("mismatches"),
+    ).collect()[0]
+    result = {"rows": agg["rows"], "mismatches": agg["mismatches"] or 0}
+    if result["mismatches"]:
+        sample = joined.filter(mismatch_cond).limit(5).collect()
+        raise AssertionError(f"round-trip mismatch: {result} sample={sample}")
+    return result
+
+
+def encoded_size_report(out_dir: str) -> dict:
+    """Total on-disk encoded bytes (chunk files) for the <=parquet bound."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    total = sum(
+        os.path.getsize(os.path.join(chunks_dir, f))
+        for f in os.listdir(chunks_dir)
+        if f.endswith(".parquet")
+    )
+    return {"encoded_bytes": total}

@@ -1,0 +1,124 @@
+"""Chunk planning: deterministic range partitioning on the sort key (N11).
+
+``repartitionByRange`` alone is not resumable: its sampled boundaries
+change run-to-run, so chunk identity would drift. We do what it does —
+sample the key, cut quantile boundaries — but persist the boundaries in
+``plan.json`` on the first run and reuse them on every subsequent run,
+making chunk ids stable across restarts and parallelism levels
+(SURVEY.md §2.6 N11 + N13).
+
+Bucket assignment is a vectorized ``np.searchsorted`` inside a pandas
+UDF (strings are orderable; no per-row Python). At 1000-executor scale
+this is one narrow map stage; the only shuffle is the subsequent
+hash-repartition on the bucket id, which is exactly the shuffle a range
+partitioner would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PLAN_FILE = "plan.json"
+_SAMPLE_TARGET = 100_000
+
+
+def make_plan(
+    df: DataFrame,
+    key: str,
+    n_chunks: int,
+    seed: int = 42,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Sample ``key`` and cut ``n_chunks`` quantile boundaries."""
+    n_rows = df.count()
+    if n_rows == 0:
+        boundaries: list = []
+    else:
+        frac = min(1.0, _SAMPLE_TARGET / max(n_rows, 1))
+        sample = (
+            df.select(key).sample(fraction=frac, seed=seed).toPandas()[key].tolist()
+        )
+        if not sample:
+            sample = [r[0] for r in df.select(key).limit(1000).collect()]
+        sample.sort()
+        cuts = [
+            sample[int(len(sample) * i / n_chunks)]
+            for i in range(1, n_chunks)
+        ]
+        # dedupe while preserving order (low-cardinality keys)
+        boundaries = sorted(set(cuts))
+    return {
+        "version": 1,
+        "key": key,
+        "n_chunks": len(boundaries) + 1,
+        "boundaries": boundaries,
+        "n_rows": n_rows,
+        "seed": seed,
+        "partition_cols": partition_cols or [],
+    }
+
+
+def load_or_make_plan(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    key: str,
+    n_chunks: int,
+    seed: int = 42,
+) -> dict:
+    path = os.path.join(out_dir, PLAN_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    plan = make_plan(df, key, n_chunks, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(plan, f)
+    os.replace(tmp, path)
+    return plan
+
+
+def assign_buckets(df: DataFrame, plan: dict, col_name: str = "_bucket") -> DataFrame:
+    """Add the deterministic range-bucket id column."""
+    boundaries = plan["boundaries"]
+    key = plan["key"]
+    if not boundaries:
+        return df.withColumn(col_name, F.lit(0))
+    b_arr = np.array(boundaries, dtype=object)
+
+    @F.pandas_udf("int")
+    def bucket_of(s: pd.Series) -> pd.Series:
+        idx = np.searchsorted(b_arr, s.to_numpy(dtype=object), side="right")
+        return pd.Series(idx.astype(np.int32))
+
+    return df.withColumn(col_name, bucket_of(F.col(key)))
+
+
+def salt_skewed(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Explicit skew salting (N10): hot keys get ``n_salts`` sub-keys.
+
+    Downstream groupBys aggregate on (key, salt) then re-aggregate on
+    key — two small shuffles instead of one stalled straggler. When
+    ``hot_keys`` is None every key is salted (uniform salting).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    if hot_keys is None:
+        return df.withColumn(salt_col, salt.cast("int"))
+    is_hot = F.col(key).isin(list(hot_keys))
+    return df.withColumn(
+        salt_col, F.when(is_hot, salt.cast("int")).otherwise(F.lit(0))
+    )

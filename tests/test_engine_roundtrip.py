@@ -1,0 +1,142 @@
+"""End-to-end engine tests: encode -> decode -> bit-identical (N14),
+size bound vs parquet-snappy, deterministic datagen, resume (N13).
+
+The invariant is the reference's round-trip guarantee
+(/root/reference/tests/test_round_trip.py:40-74) generalized to
+decode(encode(x)) == x on the tokens table.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from mojap_arrow_pd_parser_spark.datagen import tokens_table
+from mojap_arrow_pd_parser_spark.operators.decode import (
+    decode_table,
+    encoded_size_report,
+    load_plan,
+    verify_roundtrip,
+)
+from mojap_arrow_pd_parser_spark.operators.encode import encode_table, scan_done_chunks
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return tokens_table(spark, N_DOCS, seed=7, avg_len=64).cache()
+
+
+def test_datagen_deterministic(spark):
+    a = tokens_table(spark, 500, seed=11, partitions=2).orderBy("doc_id").collect()
+    b = tokens_table(spark, 500, seed=11, partitions=7).orderBy("doc_id").collect()
+    assert a == b
+    # regimes present: some empty, some singleton arrays
+    lens = [len(r.tokens) for r in a]
+    assert 0 in lens and 1 in lens and max(lens) > 100
+
+
+def test_encode_decode_roundtrip(spark, src, tmp_path):
+    out = str(tmp_path / "enc")
+    manifest = encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    rows = manifest.agg({"n_rows": "sum"}).collect()[0][0]
+    assert rows == N_DOCS
+    result = verify_roundtrip(spark, src, out)
+    assert result == {"rows": N_DOCS, "mismatches": 0}
+
+
+def test_column_pruned_decode(spark, src, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=4)
+    d = decode_table(spark, out, columns=["doc_id", "n_tok"])
+    assert d.columns == ["doc_id", "n_tok"]
+    assert d.count() == N_DOCS
+
+
+def test_size_beats_parquet_snappy(spark, src, tmp_path):
+    """Total encoded bytes <= reference parquet-snappy encoding (BASELINE)."""
+    ref = str(tmp_path / "ref_parquet")
+    src.write.mode("overwrite").option("compression", "snappy").parquet(ref)
+    ref_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(ref + "/*.parquet")
+    )
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    enc_bytes = encoded_size_report(out)["encoded_bytes"]
+    assert enc_bytes <= ref_bytes, f"encoded {enc_bytes} > parquet {ref_bytes}"
+
+
+def test_manifest_lineage(spark, src, tmp_path):
+    out = str(tmp_path / "enc")
+    m = encode_table(spark, src, out, key="doc_id", n_chunks=8).collect()
+    assert all(r.status == "ok" for r in m)
+    assert all(r.out_bytes > 0 and r.in_bytes > 0 for r in m)
+    codecs = json.loads(m[0].codecs)
+    assert set(codecs) == {"doc_id", "tokens", "n_tok", "source"}
+    # key ranges are disjoint and ordered by chunk id
+    spans = sorted((r.chunk_id, r.key_min, r.key_max) for r in m)
+    for (_, _, hi), (_, lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+
+def test_resume_skips_done_chunks(spark, src, tmp_path):
+    """Kill-and-rerun semantics: verified chunks are not re-encoded."""
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    done_before = scan_done_chunks(out)
+    assert len(done_before) >= 6
+
+    # simulate a killed run: remove two sidecars, truncate one chunk file
+    victims = sorted(done_before)[:2]
+    os.remove(os.path.join(out, "manifest", f"{victims[0]:05d}.json"))
+    chunk1 = os.path.join(out, "chunks", done_before[victims[1]]["file"])
+    with open(chunk1, "wb") as f:
+        f.write(b"partial")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, "chunks", f))
+        for f in os.listdir(os.path.join(out, "chunks"))
+    }
+
+    encode_table(spark, src, out, key="doc_id", n_chunks=8, resume=True)
+    # only the two broken chunks were rewritten
+    for f, t in mtimes.items():
+        cid = int(f.split("-")[1].split(".")[0])
+        new_t = os.path.getmtime(os.path.join(out, "chunks", f))
+        if cid in victims:
+            assert new_t > t, f"{f} should have been re-encoded"
+        else:
+            assert new_t == t, f"{f} was needlessly re-encoded"
+    assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+
+
+def test_plan_stable_across_runs(spark, src, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    plan1 = load_plan(out)
+    encode_table(spark, src, out, key="doc_id", n_chunks=8, resume=True)
+    assert load_plan(out) == plan1
+
+
+def test_checksum_detects_corruption(spark, src, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=2)
+    # flip payload bytes inside one chunk file
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    chunk = sorted(glob.glob(out + "/chunks/*.parquet"))[0]
+    t = pq.read_table(chunk)
+    payloads = t.column("payload").to_pylist()
+    payloads[0] = (b"\x00" * 8 + payloads[0][8:]) if len(payloads[0]) > 8 else b"\x00" * 8
+    t = t.set_column(
+        t.schema.get_field_index("payload"),
+        "payload",
+        pa.array(payloads, type=pa.large_binary()),
+    )
+    pq.write_table(t, chunk, compression="none")
+    with pytest.raises(Exception, match="checksum|mismatch"):
+        decode_table(spark, out).count()
