@@ -1,0 +1,2 @@
+"""Sources: reader/writer facade + format inference."""
+from . import inference, reader, writer  # noqa: F401

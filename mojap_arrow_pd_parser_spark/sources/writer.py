@@ -1,0 +1,89 @@
+"""Facade writer (K1-K7): format dispatch + post-write schema verification.
+
+Spark-first translations of /root/reference/arrow_pd_parser/_writers.py:
+
+* CSV sink with header (K2; per-partition files each carry the header —
+  the distributed form of the first-chunk-header protocol
+  _writers.py:94-97,160).
+* JSONL sink (K3); timestamps serialized as strings like the
+  reference's ``datetimes stringified`` (_writers.py:192-208) when
+  ``stringify_datetimes=True``.
+* Parquet sink defaults snappy (K4, _writers.py:310-311) and performs
+  the post-write schema readback + drift warning (_writers.py:330-358).
+* Directory autocreate (K6) and chunked writes (K5) are native.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.conform import cast_spark_table_to_schema
+from .inference import CSV, JSONL, PARQUET, infer_file_format
+
+
+def write(
+    df: DataFrame,
+    output_path: str,
+    metadata: dict | None = None,
+    file_format: str | None = None,
+    *,
+    mode: str = "overwrite",
+    stringify_datetimes: bool = True,
+    verify_schema: bool = True,
+    conform_options: dict | None = None,
+    **options,
+) -> None:
+    fmt = file_format or infer_file_format(output_path, metadata)
+    if metadata is not None:
+        df = cast_spark_table_to_schema(df, metadata, **(conform_options or {}))
+    if fmt == CSV:
+        # reference serialization formats (caster.py:46 defaults)
+        opts = {
+            "header": "true",
+            "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+            "dateFormat": "yyyy-MM-dd",
+        }
+        opts.update(options)
+        df.write.mode(mode).options(**opts).csv(output_path)
+    elif fmt == JSONL:
+        if stringify_datetimes:
+            exprs = []
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.TimestampType):
+                    exprs.append(
+                        F.date_format(f.name, "yyyy-MM-dd HH:mm:ss").alias(f.name)
+                    )
+                elif isinstance(f.dataType, T.DateType):
+                    exprs.append(F.date_format(f.name, "yyyy-MM-dd").alias(f.name))
+                else:
+                    exprs.append(F.col(f.name))
+            df = df.select(*exprs)
+        df.write.mode(mode).options(**options).json(output_path)
+    elif fmt == PARQUET:
+        compression = options.pop("compression", "snappy")
+        df.write.mode(mode).option("compression", compression).options(
+            **options
+        ).parquet(output_path)
+        if verify_schema:
+            _verify_written_schema(df, output_path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _verify_written_schema(df: DataFrame, output_path: str) -> None:
+    """Re-read the written files' schema; warn on drift (K4)."""
+    spark = df.sparkSession
+    written = spark.read.parquet(output_path).schema
+    expected = df.schema
+    if [f.name for f in written.fields] != [f.name for f in expected.fields] or [
+        f.dataType for f in written.fields
+    ] != [f.dataType for f in expected.fields]:
+        warnings.warn(
+            "Written parquet schema differs from dataframe schema: "
+            f"expected {expected.simpleString()}, got {written.simpleString()}",
+            stacklevel=2,
+        )

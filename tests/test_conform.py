@@ -1,0 +1,290 @@
+"""Conform/cast layer tests — reference caster parity.
+
+Recreates the reference's golden fixtures (FIXTURES.md F2/F3, from
+/root/reference/tests/data/) and its conformance matrices:
+bool truth table (caster.py:128-141, tests/test_pandas_parser.py:145-206),
+datetime formats incl. %d-%b-%y (tests/test_pandas_parser.py:245-270),
+OOB datetimes (tests/test_date_timestamp_conformance.py:86-131),
+round-trip through every format pair (tests/test_round_trip.py:40-74).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from mojap_arrow_pd_parser_spark.functions.conform import (
+    cast_spark_table_to_schema,
+    meta_type_to_spark,
+    strftime_to_spark,
+)
+from mojap_arrow_pd_parser_spark.sources import reader, writer
+from mojap_arrow_pd_parser_spark.sources.inference import (
+    human_to_bytes,
+    infer_file_format,
+)
+
+ALL_TYPES_CSV = """i,my_float,my_bool,my_nullable_bool,my_date,my_datetime,my_int,my_string
+1,2.5,True,True,2021-03-19,2021-03-19 12:00:00,,hello
+2,3.5,True,False,2021-03-20,2021-03-20 13:30:30,2,"dsfasd,dsffadsf"
+3,4.5,False,,2021-03-21,2021-03-21 14:45:45,3,💩
+"""
+
+ALL_TYPES_META = {
+    "name": "all_types",
+    "columns": [
+        {"name": "i", "type": "int64"},
+        {"name": "my_float", "type": "float64"},
+        {"name": "my_bool", "type": "bool_"},
+        {"name": "my_nullable_bool", "type": "bool_"},
+        {"name": "my_date", "type": "date32"},
+        {"name": "my_datetime", "type": "timestamp(s)"},
+        {"name": "my_int", "type": "int64"},
+        {"name": "my_string", "type": "string"},
+    ],
+}
+
+
+@pytest.fixture()
+def all_types_path(tmp_path):
+    p = tmp_path / "all_types.csv"
+    p.write_text(ALL_TYPES_CSV, encoding="utf-8")
+    return str(p)
+
+
+class TestMetaTypes:
+    @pytest.mark.parametrize(
+        "meta_t,spark_t",
+        [
+            ("int8", T.ByteType()), ("int64", T.LongType()),
+            ("uint32", T.LongType()), ("uint64", T.DecimalType(20, 0)),
+            ("float64", T.DoubleType()), ("decimal128(5,3)", T.DecimalType(5, 3)),
+            ("bool_", T.BooleanType()), ("string", T.StringType()),
+            ("date32", T.DateType()), ("timestamp(ms)", T.TimestampType()),
+            ("list<int64>", T.ArrayType(T.LongType())),
+            ("large_list<int64>", T.ArrayType(T.LongType())),
+            ("struct<a:int64,b:string>",
+             T.StructType([T.StructField("a", T.LongType()),
+                           T.StructField("b", T.StringType())])),
+        ],
+    )
+    def test_mapping(self, meta_t, spark_t):
+        assert meta_type_to_spark(meta_t) == spark_t
+
+    def test_strftime(self):
+        assert strftime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+        assert strftime_to_spark("%d-%b-%y") == "dd-MMM-yy"
+        assert strftime_to_spark("%d/%m/%Y") == "dd/MM/yyyy"
+        with pytest.raises(ValueError):
+            strftime_to_spark("%Q")
+
+
+class TestAllTypesConformance:
+    def test_read_with_meta(self, spark, all_types_path):
+        df = reader.read(spark, all_types_path, metadata=ALL_TYPES_META)
+        assert [f.dataType for f in df.schema.fields] == [
+            T.LongType(), T.DoubleType(), T.BooleanType(), T.BooleanType(),
+            T.DateType(), T.TimestampType(), T.LongType(), T.StringType(),
+        ]
+        rows = df.orderBy("i").collect()
+        assert rows[0].my_int is None  # null int (int_type.csv row 1 spirit)
+        assert rows[0].my_bool is True
+        assert rows[2].my_nullable_bool is None  # empty -> null bool
+        assert rows[1].my_string == 'dsfasd,dsffadsf'
+        assert rows[2].my_string == "💩"
+        assert rows[0].my_date == dt.date(2021, 3, 19)
+        assert rows[1].my_datetime == dt.datetime(2021, 3, 20, 13, 30, 30)
+
+    def test_missing_column_raises(self, spark, all_types_path):
+        meta = {"columns": ALL_TYPES_META["columns"] + [{"name": "ghost", "type": "int64"}]}
+        with pytest.raises(ValueError, match="ghost"):
+            reader.read(spark, all_types_path, metadata=meta)
+
+    def test_partial_schema_ok(self, spark, all_types_path):
+        meta = {"columns": ALL_TYPES_META["columns"] + [{"name": "ghost", "type": "int64"}]}
+        df = reader.read(spark, all_types_path, metadata=meta, expect_full_schema=False)
+        assert "ghost" not in df.columns
+
+    def test_drop_and_ignore(self, spark, all_types_path):
+        df = reader.read(
+            spark, all_types_path, metadata=ALL_TYPES_META,
+            conform_options={"drop_columns": ["my_float"], "ignore_columns": ["my_int"]},
+        )
+        assert "my_float" not in df.columns
+        assert dict(df.dtypes)["my_int"] == "string"  # left uncast
+
+
+class TestBoolTruthTable:
+    TRUE_SPELLINGS = ["yes", "YES", " Yes ", "true", "TRUE", "t", "1", "1.0"]
+    FALSE_SPELLINGS = ["no", "No ", "false", "FALSE", "f", "0", "0.0"]
+
+    def _conform(self, spark, values, **kw):
+        df = spark.createDataFrame([(v,) for v in values], "b string")
+        meta = {"columns": [{"name": "b", "type": "bool_"}]}
+        return [
+            r.b
+            for r in cast_spark_table_to_schema(df, meta, **kw).collect()
+        ]
+
+    def test_true_false_null(self, spark):
+        got = self._conform(
+            spark, self.TRUE_SPELLINGS + self.FALSE_SPELLINGS + ["", None]
+        )
+        assert got == [True] * 8 + [False] * 7 + [None, None]
+
+    def test_custom_bool_map(self, spark):
+        got = self._conform(
+            spark, ["Y", "N"], bool_map={"y": True, "n": False}
+        )
+        assert got == [True, False]
+
+    def test_unmapped_raises(self, spark):
+        with pytest.raises(Exception, match="unmapped value"):
+            self._conform(spark, ["maybe"])
+
+    def test_unmapped_coerces(self, spark):
+        assert self._conform(spark, ["maybe"], bool_errors="coerce") == [None]
+
+    def test_numeric_source(self, spark):
+        df = spark.createDataFrame([(1,), (0,), (None,)], "b int")
+        meta = {"columns": [{"name": "b", "type": "bool_"}]}
+        got = [r.b for r in cast_spark_table_to_schema(df, meta).collect()]
+        assert got == [True, False, None]
+
+
+class TestTimestamps:
+    def test_custom_formats(self, spark):
+        df = spark.createDataFrame(
+            [("16-Aug-2026", "16-Aug-26", "16/08/2026")],
+            "datelong string, dateshort string, date_uk string",
+        )
+        meta = {
+            "columns": [
+                {"name": "datelong", "type": "timestamp(s)", "datetime_format": "%d-%b-%Y"},
+                {"name": "dateshort", "type": "timestamp(s)", "datetime_format": "%d-%b-%y"},
+                {"name": "date_uk", "type": "date32", "datetime_format": "%d/%m/%Y"},
+            ]
+        }
+        r = cast_spark_table_to_schema(df, meta).collect()[0]
+        assert r.datelong == dt.datetime(2026, 8, 16)
+        assert r.dateshort == dt.datetime(2026, 8, 16)
+        assert r.date_uk == dt.date(2026, 8, 16)
+
+    def test_out_of_bounds_datetimes(self, spark):
+        """years 1000 & 2262+ — outside pandas-ns range, fine for Spark
+        (datetime_type_oob.csv, test_date_timestamp_conformance.py:86-131)."""
+        vals = ["1000-01-01 00:00:00", "1677-09-22 00:00:00", "",
+                "2262-04-11 23:47:17", "9999-12-31 23:59:59"]
+        df = spark.createDataFrame([(v,) for v in vals], "ts string")
+        meta = {"columns": [{"name": "ts", "type": "timestamp(s)"}]}
+        got = [r.ts for r in cast_spark_table_to_schema(df, meta).collect()]
+        assert got[0] == dt.datetime(1000, 1, 1)
+        assert got[2] is None
+        assert got[4] == dt.datetime(9999, 12, 31, 23, 59, 59)
+
+    def test_date_only_string_in_timestamp_col(self, spark):
+        df = spark.createDataFrame([("2021-01-01",)], "ts string")
+        meta = {"columns": [{"name": "ts", "type": "timestamp(s)"}]}
+        got = cast_spark_table_to_schema(df, meta).collect()[0].ts
+        assert got == dt.datetime(2021, 1, 1)
+
+    def test_bad_raises_vs_coerce(self, spark):
+        df = spark.createDataFrame([("not a date",)], "ts string")
+        meta = {"columns": [{"name": "ts", "type": "timestamp(s)"}]}
+        with pytest.raises(Exception, match="[Ee]rror converting"):
+            cast_spark_table_to_schema(df, meta).collect()
+        got = cast_spark_table_to_schema(df, meta, datetime_errors="coerce").collect()
+        assert got[0].ts is None
+
+
+class TestNumericPolicies:
+    def test_coerce_and_raise(self, spark):
+        df = spark.createDataFrame([("12",), ("oops",)], "x string")
+        meta = {"columns": [{"name": "x", "type": "int64"}]}
+        got = cast_spark_table_to_schema(df, meta, num_errors="coerce").orderBy("x").collect()
+        assert sorted([r.x for r in got], key=lambda v: (v is None, v)) == [12, None]
+        with pytest.raises(Exception, match="[Ee]rror converting"):
+            cast_spark_table_to_schema(df, meta, num_errors="raise").collect()
+
+    def test_per_column_policy(self, spark):
+        df = spark.createDataFrame([("1", "oops")], "a string, b string")
+        meta = {"columns": [{"name": "a", "type": "int64"}, {"name": "b", "type": "int64"}]}
+        got = cast_spark_table_to_schema(
+            df, meta, num_errors={"b": "coerce"}
+        ).collect()[0]
+        assert got.a == 1 and got.b is None
+
+    def test_decimal(self, spark):
+        from decimal import Decimal
+
+        df = spark.createDataFrame([("12",), ("12.3",), ("12.34",)], "d string")
+        meta = {"columns": [{"name": "d", "type": "decimal128(5,3)"}]}
+        got = [r.d for r in cast_spark_table_to_schema(df, meta).collect()]
+        assert got == [Decimal("12.000"), Decimal("12.300"), Decimal("12.340")]
+
+
+class TestFormatInference:
+    @pytest.mark.parametrize(
+        "path,fmt",
+        [
+            ("a/b/file.csv", "csv"), ("file.csv.gz", "csv"),
+            ("file.jsonl", "json"), ("file.ndjson", "json"),
+            ("FILE.SNAPPY.PARQUET", "parquet"), ("x.parquet", "parquet"),
+            ("data.tsv.zip", "csv"),
+        ],
+    )
+    def test_paths(self, path, fmt):
+        assert infer_file_format(path) == fmt
+
+    def test_conflict_raises(self):
+        with pytest.raises(ValueError, match="conflict"):
+            infer_file_format("x.csv", {"file_format": "parquet"})
+
+    def test_meta_fallback(self):
+        assert infer_file_format("noext", {"file_format": "jsonl"}) == "json"
+        with pytest.raises(ValueError):
+            infer_file_format("noext")
+
+    def test_human_to_bytes(self):
+        assert human_to_bytes("2.5GB") == int(2.5 * 2**30)
+        assert human_to_bytes("500 MB") == 500 * 2**20
+        assert human_to_bytes(1024) == 1024
+
+
+FORMATS = ["csv", "json", "parquet"]
+
+
+class TestRoundTripMatrix:
+    """The reference's flagship (tests/test_round_trip.py:40-74): write ->
+    read through every format pair, final == original."""
+
+    @pytest.fixture(scope="class")
+    def original(self, spark):
+        rows = [
+            Row(i=1, my_float=2.5, my_bool=True, my_nullable_bool=True,
+                my_date=dt.date(2021, 3, 19), my_datetime=dt.datetime(2021, 3, 19, 12, 0, 0),
+                my_int=None, my_string="hello"),
+            Row(i=2, my_float=3.5, my_bool=True, my_nullable_bool=False,
+                my_date=dt.date(2021, 3, 20), my_datetime=dt.datetime(2021, 3, 20, 13, 30, 30),
+                my_int=2, my_string='dsfasd,"dsffadsf'),
+            Row(i=3, my_float=4.5, my_bool=False, my_nullable_bool=None,
+                my_date=dt.date(2021, 3, 21), my_datetime=dt.datetime(2021, 3, 21, 14, 45, 45),
+                my_int=3, my_string="💩"),
+        ]
+        from mojap_arrow_pd_parser_spark.functions.conform import metadata_to_spark_schema
+
+        return spark.createDataFrame(rows, metadata_to_spark_schema(ALL_TYPES_META))
+
+    @pytest.mark.parametrize("fmt1", FORMATS)
+    @pytest.mark.parametrize("fmt2", FORMATS)
+    def test_pair(self, spark, original, tmp_path, fmt1, fmt2):
+        p1 = str(tmp_path / f"step1.{fmt1}")
+        p2 = str(tmp_path / f"step2.{fmt2}")
+        writer.write(original, p1, file_format=fmt1)
+        mid = reader.read(spark, p1, metadata=ALL_TYPES_META, file_format=fmt1)
+        writer.write(mid, p2, file_format=fmt2)
+        final = reader.read(spark, p2, metadata=ALL_TYPES_META, file_format=fmt2)
+        assert sorted(final.collect()) == sorted(original.collect())
