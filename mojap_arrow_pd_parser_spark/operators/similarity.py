@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k against a query vector:
+  one narrow scan, JVM-side ``aggregate``/``zip_with`` dot products
+  (no UDF), then a global top-k (takeOrdered semantics via orderBy +
+  limit, which Spark executes as a per-partition partial top-k).
+* ``pairwise_neardups`` — all pairs above a cosine threshold; at scale
+  use the LSH variant, the exact one is for small/verification use.
+* ``rp_lsh_buckets`` — random-hyperplane LSH: deterministic
+  pseudo-hyperplanes derived from (seed, plane, dim) hashes, computed
+  vectorized in a pandas UDF over the embedding column; bucket =
+  sign-bit string. ANN = candidates from the query's bucket (and
+  optionally neighboring buckets), re-ranked exactly.
+
+Scale note: brute-force is O(N) per query and shuffles nothing; the
+LSH path turns neardup mining into an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec`` (rounded for
+    cross-engine float stability)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        df.select(F.col(id_col), F.round(cos, round_digits).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_neardups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold (id_a < id_b). O(N^2) — use
+    rp_lsh_buckets + within-bucket compare for large N."""
+    n = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, round_digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0xA11CE]))
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (vectorized pandas UDF).
+
+    The hyperplane matrix is derived deterministically from the seed,
+    so executors regenerate it identically — nothing to broadcast.
+    """
+    planes = _hyperplanes(n_planes, dim, seed)
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (batch, dim) float32
+        signs = (mat @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
+
+
+def ann_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: candidates from the query's LSH bucket, exact re-rank.
+
+    Recall is tunable via n_planes (fewer planes -> bigger buckets).
+    Falls back to an empty result if the bucket is empty — callers can
+    multiprobe by flipping plane bits.
+    """
+    q = np.asarray(query_vec, dtype=np.float32)
+    planes = _hyperplanes(n_planes, len(query_vec), seed)
+    qb = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+    bucketed = rp_lsh_buckets(df, len(query_vec), n_planes, seed, vec_col, id_col)
+    cand = bucketed.filter(F.col("bucket") == qb).drop("bucket")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,113 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side Column expressions (regexp +
+aggregates) — no Python in the hot path, so they run at scan speed and
+every one has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# Tiny public stopword lists for n-gram language scoring (top function
+# words; public knowledge, not from any corpus file).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+# BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+# symbols — a public approximation of GPT-2's split pattern.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(c: Column) -> Column:
+    """Whitespace token count; empty/blank -> 0."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-ish pieces via regexp_extract_all."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def punct_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+
+
+def digit_count(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+
+
+def stopword_count(c: Column, lang: str = "en") -> Column:
+    words = F.split(normalize_text(c), " ")
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(sw)))
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document integer stat vector (float-free; oracle-stable)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        ws_token_count(c).alias("n_ws_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        punct_count(c).alias("n_punct"),
+        digit_count(c).alias("n_digits"),
+        stopword_count(c, "en").alias("n_stop_en"),
+        fingerprint(c).alias("fingerprint"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality label from integer ratios (filter-style gate).
+
+    bad if: <10 ws tokens, or punct > 20% of chars, or digits > 30%
+    of chars, or zero English stopwords in a >=20-token doc.
+    """
+    s = text_stats(df, text_col, id_col)
+    bad = (
+        (F.col("n_ws_tokens") < 10)
+        | (F.col("n_punct") * 5 > F.col("n_chars"))
+        | (F.col("n_digits") * 10 > F.col("n_chars") * 3)
+        | ((F.col("n_stop_en") == 0) & (F.col("n_ws_tokens") >= 20))
+    )
+    return s.select(
+        id_col,
+        "n_chars",
+        "n_ws_tokens",
+        F.when(bad, F.lit("low")).otherwise(F.lit("ok")).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess across en/fr/de/es ('und' if no votes).
+
+    Ties break deterministically by language code order.
+    """
+    c = F.col(text_col)
+    scores = [stopword_count(c, lang).alias(f"s_{lang}") for lang in STOPWORDS]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:  # ascending; strict > keeps earlier code on ties
+        cond = F.col(f"s_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"s_{lang}")).otherwise(best_score)
+    return scored.select(id_col, best.alias("lang_guess"), *[f"s_{lang}" for lang in langs])

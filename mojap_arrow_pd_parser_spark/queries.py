@@ -1,0 +1,697 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle.
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here
+twice: once as a Spark DataFrame program (the engine under test) and
+once as ANSI-ish DuckDB SQL (the oracle). Conventions for hash-stable
+cross-engine comparison:
+
+* no raw float outputs — money/value aggregates go through
+  DECIMAL(12,2) input casts (exact for 2-dec data) with a final
+  explicit DECIMAL cast; similarity scores are ``round(x, 5)``;
+* timestamps leave as formatted strings; counts as BIGINT;
+* every computed column aliased identically on both sides;
+* deterministic total order where LIMIT is involved (tiebreak on id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, similarity, textstats
+from .plans.chunking import salt_skewed
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The grading driver supplies its own session; pin the confs the
+    # oracle comparison depends on (UTC timestamps, Arrow exec).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p=12, s=2):
+    return c.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/window/set — SURVEY §2.5 extensions)
+# ---------------------------------------------------------------------------
+
+
+def _cents(c):
+    """2-decimal double -> exact integer cents (engine-portable)."""
+    return F.round(c * 100).cast("long")
+
+
+def q01_pricing_summary(spark, sf):
+    """TPC-H Q1-style aggregate; money in exact integer cents so the
+    result hashes identically in any engine/float representation."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") < 30)
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_x100"),
+            F.sum(price_c).alias("sum_base_price_x100"),
+            F.sum(price_c * (F.lit(100) - disc_c)).alias("sum_disc_price_x10000"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_x100,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_x10000,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_customers(spark, sf):
+    """Broadcast join + top-k: top 10 customers by order revenue."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_x100"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue_x100", "n_orders")
+        .orderBy(F.desc("revenue_x100"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_Q02 = """
+SELECT c_custkey, c_name, revenue_x100, n_orders FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_x100,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY revenue_x100 DESC, c_custkey LIMIT 10
+"""
+
+
+def q03_nation_revenue(spark, sf):
+    """Star join across 5 tables (dims broadcast), revenue per nation."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    rev = _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_x10000"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_Q03 = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_x10000,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q04_sessionize(spark, sf):
+    """Gaps-and-islands sessionization: 30-min inactivity gap per user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast is shift-free
+    ts = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SQL_Q04 = """
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+) t GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q05_rle_runs(spark, sf):
+    """RLE analysis as a query (N3 analog): run counts of l_returnflag
+    within each order, gaps-and-islands over (orderkey, linenumber)."""
+    li = _t(spark, sf, "lineitem")
+    # l_linenumber may repeat within an order in this synthetic data; add
+    # l_returnflag as tiebreak so run boundaries are engine-deterministic
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_returnflag")
+    start = F.when(
+        F.lag("l_returnflag").over(w).isNull()
+        | (F.col("l_returnflag") != F.lag("l_returnflag").over(w)),
+        1,
+    ).otherwise(0)
+    return (
+        li.withColumn("run_start", start)
+        .groupBy("l_returnflag")
+        .agg(F.sum("run_start").alias("n_runs"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_Q05 = """
+SELECT l_returnflag, CAST(SUM(run_start) AS BIGINT) AS n_runs, COUNT(*) AS n_rows FROM (
+  SELECT l_returnflag,
+         CASE WHEN lag(l_returnflag) OVER w IS NULL
+                OR l_returnflag <> lag(l_returnflag) OVER w
+              THEN 1 ELSE 0 END AS run_start
+  FROM lineitem WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_returnflag)
+) t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q06_dict_stats(spark, sf):
+    """Dictionary-encoding stats per source (N2 analog): ndv + code bits."""
+    d = _t(spark, sf, "documents")
+    ndv = F.countDistinct("lang")
+    bits = F.when(ndv <= 1, F.lit(0)).otherwise(F.length(F.bin(ndv - 1)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            ndv.alias("ndv_lang"),
+            bits.cast("int").alias("code_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q06 = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS ndv_lang,
+       CAST(CASE WHEN COUNT(DISTINCT lang) <= 1 THEN 0
+            ELSE length(bin(COUNT(DISTINCT lang) - 1)) END AS INT) AS code_bits
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q07_codec_choice(spark, sf):
+    """The cost model (N7) as SQL: per-source stats on n_chars pick a codec."""
+    d = _t(spark, sf, "documents")
+    n = F.count(F.lit(1))
+    rng = F.max("n_chars") - F.min("n_chars")
+    ndv = F.countDistinct("n_chars")
+    for_bits = F.when(rng <= 0, F.lit(0)).otherwise(F.length(F.bin(rng)))
+    code_bits = F.when(ndv <= 1, F.lit(0)).otherwise(F.length(F.bin(ndv - 1)))
+    plain_b = n * 8
+    ffor_b = F.floor((n * for_bits + 7) / 8) + 64
+    dict_b = ndv * 8 + F.floor((n * code_bits + 7) / 8) + 128
+    label = (
+        F.when((ffor_b <= plain_b) & (ffor_b <= dict_b), F.lit("ffor"))
+        .when(dict_b <= plain_b, F.lit("dict"))
+        .otherwise(F.lit("plain"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            n.alias("n_vals"),
+            F.min("n_chars").alias("v_min"),
+            F.max("n_chars").alias("v_max"),
+            ndv.alias("ndv"),
+            plain_b.cast("long").alias("plain_bytes"),
+            ffor_b.cast("long").alias("ffor_bytes"),
+            dict_b.cast("long").alias("dict_bytes"),
+            label.alias("codec"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q07 = """
+SELECT source, COUNT(*) AS n_vals, MIN(n_chars) AS v_min, MAX(n_chars) AS v_max,
+       COUNT(DISTINCT n_chars) AS ndv,
+       CAST(COUNT(*) * 8 AS BIGINT) AS plain_bytes,
+       CAST((COUNT(*) * (CASE WHEN MAX(n_chars)-MIN(n_chars) <= 0 THEN 0 ELSE length(bin(MAX(n_chars)-MIN(n_chars))) END) + 7) // 8 + 64 AS BIGINT) AS ffor_bytes,
+       CAST(COUNT(DISTINCT n_chars) * 8 + (COUNT(*) * (CASE WHEN COUNT(DISTINCT n_chars) <= 1 THEN 0 ELSE length(bin(COUNT(DISTINCT n_chars)-1)) END) + 7) // 8 + 128 AS BIGINT) AS dict_bytes,
+       CASE WHEN (COUNT(*) * (CASE WHEN MAX(n_chars)-MIN(n_chars) <= 0 THEN 0 ELSE length(bin(MAX(n_chars)-MIN(n_chars))) END) + 7) // 8 + 64 <= COUNT(*) * 8
+             AND (COUNT(*) * (CASE WHEN MAX(n_chars)-MIN(n_chars) <= 0 THEN 0 ELSE length(bin(MAX(n_chars)-MIN(n_chars))) END) + 7) // 8 + 64 <= COUNT(DISTINCT n_chars) * 8 + (COUNT(*) * (CASE WHEN COUNT(DISTINCT n_chars) <= 1 THEN 0 ELSE length(bin(COUNT(DISTINCT n_chars)-1)) END) + 7) // 8 + 128
+            THEN 'ffor'
+            WHEN COUNT(DISTINCT n_chars) * 8 + (COUNT(*) * (CASE WHEN COUNT(DISTINCT n_chars) <= 1 THEN 0 ELSE length(bin(COUNT(DISTINCT n_chars)-1)) END) + 7) // 8 + 128 <= COUNT(*) * 8
+            THEN 'dict' ELSE 'plain' END AS codec
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conform layer as queries (C1-C8)
+# ---------------------------------------------------------------------------
+
+
+def q08_conform_cast(spark, sf):
+    """Reference caster semantics on lineitem: numeric/date/bool conform."""
+    from .functions.conform import bool_expr
+
+    li = _t(spark, sf, "lineitem")
+    is_returned = bool_expr(
+        F.col("l_returnflag"), "l_returnflag",
+        bool_map={"r": True, "a": True, "n": False}, errors="raise",
+        src_type=None,
+    )
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        _cents(F.col("l_quantity")).alias("qty_x100"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_iso"),
+        is_returned.alias("is_returned"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_Q08 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_quantity * 100) AS BIGINT) AS qty_x100,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_iso,
+       CASE WHEN l_returnflag IS NULL OR trim(lower(l_returnflag)) = '' THEN NULL
+            WHEN trim(lower(l_returnflag)) IN ('r','a') THEN TRUE
+            WHEN trim(lower(l_returnflag)) = 'n' THEN FALSE END AS is_returned
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q09_timestamp_conform(spark, sf):
+    """C8 end-to-end: stringify with a custom format, parse back, emit ISO."""
+    from .functions.conform import timestamp_expr
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf, "events")
+    as_str = F.date_format("ts", "dd-MMM-yyyy HH:mm:ss")
+    parsed = timestamp_expr(
+        as_str, "ts", T.TimestampType(), datetime_format="%d-%b-%Y %H:%M:%S",
+        errors="raise",
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("ts_iso"),
+    ).orderBy("event_id")
+
+
+SQL_Q09 = """
+SELECT event_id,
+       strftime(strptime(strftime(ts, '%d-%b-%Y %H:%M:%S'), '%d-%b-%Y %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS ts_iso
+FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite
+# ---------------------------------------------------------------------------
+
+
+def _duplicated_docs(spark, sf, near: bool = False):
+    """documents ∪ shifted-id copies (exact or near duplicates)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    if near:
+        twin = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+        )
+    else:
+        twin = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionAll(twin)
+
+
+_SQL_DUP_DOCS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+_SQL_DUP_DOCS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' near duplicate suffix' AS text FROM documents
+"""
+
+
+def q10_dedup_exact(spark, sf):
+    corpus = _duplicated_docs(spark, sf, near=False)
+    g = dedup.exact_dup_groups(corpus, "text", "doc_id")
+    return g.select(
+        "digest",
+        "n_docs",
+        F.array_min("ids").alias("min_id"),
+        F.array_max("ids").alias("max_id"),
+    ).orderBy("digest")
+
+
+SQL_Q10 = f"""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM ({_SQL_DUP_DOCS_EXACT}) corpus
+GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY digest
+"""
+
+
+def q11_ngram_jaccard(spark, sf):
+    corpus = _duplicated_docs(spark, sf, near=True)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.8)
+    return pairs.orderBy("id_a", "id_b")
+
+
+SQL_Q11 = f"""
+WITH corpus AS ({_SQL_DUP_DOCS_NEAR}),
+docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+words AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_inter, sa.n_sh + sb.n_sh - n_inter AS n_union
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter >= (sa.n_sh + sb.n_sh - n_inter) * 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def q12_minhash_lsh(spark, sf):
+    corpus = _duplicated_docs(spark, sf, near=True)
+    return dedup.minhash_lsh_candidates(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_minhash(n_hashes: int, bands: int) -> str:
+    rows = n_hashes // bands
+    mh_cols = ",\n    ".join(
+        f"MIN(md5('{k}:' || shingle)) AS mh{k}" for k in range(n_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bh FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH corpus AS ({_SQL_DUP_DOCS_NEAR}),
+docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+words AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+sig AS (SELECT id, {mh_cols} FROM grams GROUP BY id),
+buckets AS ({bands_sql})
+SELECT DISTINCT x.id AS id_a, y.id AS id_b
+FROM buckets x JOIN buckets y
+  ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+ORDER BY id_a, id_b
+"""
+
+
+SQL_Q12 = _sql_minhash(8, 4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis suite
+# ---------------------------------------------------------------------------
+
+
+def q13_text_stats(spark, sf):
+    return textstats.text_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_Q13 = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           w -> w IN ('the','and','of','to','in','is','that','it','for','was'))) AS n_stop_en,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q14_quality(spark, sf):
+    return textstats.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+SQL_Q14 = r"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             w -> w IN ('the','and','of','to','in','is','that','it','for','was'))) AS n_stop_en
+  FROM documents
+)
+SELECT doc_id, n_chars, n_ws_tokens,
+       CASE WHEN n_ws_tokens < 10 OR n_punct * 5 > n_chars
+              OR n_digits * 10 > n_chars * 3
+              OR (n_stop_en = 0 AND n_ws_tokens >= 20)
+            THEN 'low' ELSE 'ok' END AS quality
+FROM s ORDER BY doc_id
+"""
+
+
+def q15_lang_id(spark, sf):
+    return textstats.language_id(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    sw = textstats.STOPWORDS
+    score = {
+        lang: (
+            "len(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+            f"w -> w IN ({', '.join(repr(w) for w in sw[lang])})))"
+        )
+        for lang in sw
+    }
+    langs = sorted(sw)
+    # mirror the Spark fold: ascending lang order, strict > replaces
+    best, best_score = "'und'", "0"
+    for lang in langs:
+        cond = f"s_{lang} > {best_score}"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {cond} THEN s_{lang} ELSE {best_score} END"
+    cols = ",\n  ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+    sel = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, {best} AS lang_guess, {sel} FROM scored ORDER BY doc_id
+"""
+
+
+SQL_Q15 = _sql_lang_id()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def q16_similarity_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk(emb, _query_vec(spark, sf), k=20)
+
+
+SQL_Q16 = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding, qv)
+             / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))), 5) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+def q17_embedding_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.pairwise_neardups(emb, threshold=0.5).orderBy("id_a", "id_b")
+
+
+SQL_Q17 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding)) * sqrt(list_dot_product(b.embedding, b.embedding))), 5) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin + skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def q18_stream_window(spark, sf):
+    from .streaming.pipeline import windowed_event_counts_batch
+
+    ev = _t(spark, sf, "events")
+    out = windowed_event_counts_batch(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")
+
+
+SQL_Q18 = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q19_salted_agg(spark, sf):
+    """Explicit skew salting (N10): two-stage aggregate on (key, salt)."""
+    ev = salt_skewed(_t(spark, sf, "events"), "event_type", n_salts=8)
+    partial = ev.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.approx_count_distinct("user_id").alias("_ignore"),
+        F.sum(F.col("user_id")).alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n_events"), F.sum("psum").alias("sum_user_id"))
+        .orderBy("event_type")
+    )
+
+
+SQL_Q19 = """
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine / non-SQL-expressible (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q20_tokens_roundtrip(spark, sf):
+    """Flagship: encode->decode->verify the synthetic tokens table."""
+    import tempfile
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_table
+
+    out = tempfile.mkdtemp(prefix="q20_enc_")
+    src = tokens_table(spark, 2000, seed=123, avg_len=64)
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    dec = decode_table(spark, out)
+    j = src.alias("o").join(dec.alias("d"), "doc_id")
+    return (
+        j.select(
+            F.col("doc_id"),
+            (
+                F.col("o.tokens").eqNullSafe(F.col("d.tokens"))
+                & F.col("o.n_tok").eqNullSafe(F.col("d.n_tok"))
+                & F.col("o.source").eqNullSafe(F.col("d.source"))
+            ).alias("ok"),
+        )
+        .groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("ok")
+    )
+
+
+def q21_simhash(spark, sf):
+    return dedup.simhash64(_t(spark, sf, "documents")).orderBy("id")
+
+
+def q22_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.ann_search(emb, _query_vec(spark, sf), k=10, n_planes=4)
+
+
+def q23_multimodal_features(spark, sf):
+    from .operators.multimodal import extract_features, synthetic_media_table
+
+    media = synthetic_media_table(spark, n_rows=48)
+    return extract_features(media).select("media_id", "n_bytes").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_top_customers": (q02_top_customers, SQL_Q02),
+    "q03_nation_revenue": (q03_nation_revenue, SQL_Q03),
+    "q04_sessionize": (q04_sessionize, SQL_Q04),
+    "q05_rle_runs": (q05_rle_runs, SQL_Q05),
+    "q06_dict_stats": (q06_dict_stats, SQL_Q06),
+    "q07_codec_choice": (q07_codec_choice, SQL_Q07),
+    "q08_conform_cast": (q08_conform_cast, SQL_Q08),
+    "q09_timestamp_conform": (q09_timestamp_conform, SQL_Q09),
+    "q10_dedup_exact": (q10_dedup_exact, SQL_Q10),
+    "q11_ngram_jaccard": (q11_ngram_jaccard, SQL_Q11),
+    "q12_minhash_lsh": (q12_minhash_lsh, SQL_Q12),
+    "q13_text_stats": (q13_text_stats, SQL_Q13),
+    "q14_quality": (q14_quality, SQL_Q14),
+    "q15_lang_id": (q15_lang_id, SQL_Q15),
+    "q16_similarity_topk": (q16_similarity_topk, SQL_Q16),
+    "q17_embedding_neardup": (q17_embedding_neardup, SQL_Q17),
+    "q18_stream_window": (q18_stream_window, SQL_Q18),
+    "q19_salted_agg": (q19_salted_agg, SQL_Q19),
+    # engine / non-SQL-expressible: rows-only driver check
+    "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
+    "q21_simhash": (q21_simhash, None),
+    "q22_ann_lsh": (q22_ann_lsh, None),
+    "q23_multimodal_features": (q23_multimodal_features, None),
+}

@@ -1,0 +1,92 @@
+"""Structured Streaming pipelines.
+
+* ``stream_encode`` — streaming ingest of tokens parquet into the
+  encoder via ``foreachBatch`` + the resumable ``encode_table`` sink:
+  the manifest sidecars make the sink idempotent, so replayed batches
+  after a failure re-encode only unfinished chunks (exactly-once
+  effect on top of at-least-once delivery).
+* ``windowed_event_counts`` — watermarked event-time windowed
+  aggregation (the standard late-data pattern); its batch-mode twin
+  backs the oracle-checked q_stream_window query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import TOKENS_SCHEMA
+from ..operators.encode import encode_table
+
+
+def stream_encode(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    n_chunks: int = 16,
+):
+    """readStream(parquet) -> foreachBatch encode_table. Returns the query.
+
+    Use ``trigger(availableNow=True)`` semantics: drains what exists,
+    then stops — the batch/stream-unified form of the reference's
+    chunked reader loop (_readers.py:147-158).
+    """
+    src = (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_table(
+            batch_df.sparkSession, batch_df, out_dir, key=key,
+            n_chunks=n_chunks, resume=True,
+        )
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming watermarked windowed counts; memory-sink for smoke use."""
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    # event-time watermarks require TIMESTAMP (not the parquet NTZ type);
+    # session TZ is UTC so the cast is shift-free
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("windowed_event_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of the streaming agg (same plan shape, oracle-checkable)."""
+    return (
+        events.groupBy(
+            F.window("ts", window).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
