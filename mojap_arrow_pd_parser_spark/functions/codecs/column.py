@@ -219,25 +219,19 @@ def _encode_str(arr: pa.Array, mask, w: _SectionWriter, meta: dict):
     lens_np = np.asarray(pc.binary_length(arr)).astype(np.int64) if n else np.zeros(0, np.int64)
     total_bytes = int(lens_np.sum()) if n else 0
 
-    # --- cost probe ------------------------------------------------------
+    # --- cost probe (zero-copy head slice; cheap by construction) ---------
     if n:
-        step = max(1, n // _STR_NDV_SAMPLE)
-        sample = arr[::step] if step > 1 else arr
+        sample = arr.slice(0, min(n, _STR_NDV_SAMPLE))
         ndv_s = len(pc.unique(sample))
         if len(sample) < n and ndv_s > len(sample) // 2:
             ndv_est = n
         else:
             ndv_est = max(ndv_s, 1)
         avg_len = total_bytes / n if n else 0
-        sample_bytes = b"".join(
-            v.as_py().encode() if isinstance(v.as_py(), str) else (v.as_py() or b"")
-            for v in sample[:256]
-        )
         from .intcodec import estimate_int_sizes, int_stats
 
         len_cost = min(estimate_int_sizes(int_stats(lens_np)).values())
         est_plain = total_bytes + len_cost
-        est_fsst = fsst.estimate(sample_bytes, total_bytes) + len_cost
         from .bitpack import bit_width, packed_nbytes
 
         est_dict = (
@@ -245,6 +239,16 @@ def _encode_str(arr: pa.Array, mask, w: _SectionWriter, meta: dict):
             + packed_nbytes(n, bit_width(max(ndv_est - 1, 0)))
             + 128
         )
+        # FSST probe (train+encode on a small sample) only when dict isn't
+        # already a clear win and the strings are long enough to matter.
+        if ndv_est > n // 4 and avg_len >= 4:
+            sample_bytes = b"".join(
+                v.as_py().encode() if isinstance(v.as_py(), str) else (v.as_py() or b"")
+                for v in sample[:256]
+            )
+            est_fsst = fsst.estimate(sample_bytes, total_bytes) + len_cost
+        else:
+            est_fsst = est_plain + 1
     else:
         est_plain, est_fsst, est_dict = 0, 1, 2
 

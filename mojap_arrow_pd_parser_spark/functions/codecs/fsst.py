@@ -33,6 +33,20 @@ MAX_SYM_LEN = 8
 _TRAIN_CAP = 1 << 16  # train on at most 64 KiB of sample
 
 
+def _window_keys64(data: np.ndarray) -> np.ndarray:
+    """uint64 key per byte position: the next 8 bytes, little-endian
+    (byte at the position is the LSB). Masking with (1<<(8L))-1 yields
+    the length-L substring key — lets all substring counting/matching
+    run on native uint64 instead of slow void dtypes."""
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    win8 = np.lib.stride_tricks.sliding_window_view(padded, 8)[: len(data)]
+    return np.ascontiguousarray(win8).view(np.uint64).ravel()
+
+
+def _key_to_bytes(key: int, length: int) -> bytes:
+    return int(key).to_bytes(8, "little")[:length]
+
+
 def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     """Greedy symbol table from substring gain counts on a sample."""
     if len(sample) > _TRAIN_CAP:
@@ -46,14 +60,13 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
     n = len(arr)
     if n == 0:
         return []
+    keys64 = _window_keys64(arr)
     candidates: list[tuple[int, bytes]] = []
     for length in range(1, MAX_SYM_LEN + 1):
         if n < length:
             break
-        win = np.lib.stride_tricks.sliding_window_view(arr, length)
-        keys = np.ascontiguousarray(win).view(
-            np.dtype((np.void, length))
-        ).ravel()
+        mask = np.uint64((1 << (8 * length)) - 1) if length < 8 else np.uint64(2**64 - 1)
+        keys = (keys64 & mask)[: n - length + 1]
         uniq, counts = np.unique(keys, return_counts=True)
         gain = counts * (length - 1 if length > 1 else 1)
         if length == 1:
@@ -66,7 +79,7 @@ def train(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
             g = int(gain[i])
             if g <= 0:
                 continue
-            candidates.append((g, uniq[i].tobytes()))
+            candidates.append((g, _key_to_bytes(uniq[i], length)))
     candidates.sort(key=lambda t: (-t[0], t[1]))
     table: list[bytes] = []
     seen = set()
@@ -88,22 +101,21 @@ def _match_arrays(data: np.ndarray, table: list[bytes]):
     by_len: dict[int, list[tuple[int, bytes]]] = {}
     for code, sym in enumerate(table):
         by_len.setdefault(len(sym), []).append((code, sym))
+    keys64 = _window_keys64(data)
     for length in sorted(by_len):  # ascending: longer overwrites shorter
         if n < length:
             continue
         pairs = by_len[length]
-        syms = np.frombuffer(b"".join(s for _, s in pairs), dtype=np.uint8)
-        syms = syms.reshape(len(pairs), length).view(
-            np.dtype((np.void, length))
-        ).ravel()
+        sym_keys = np.array(
+            [int.from_bytes(s.ljust(8, b"\0"), "little") for _, s in pairs],
+            dtype=np.uint64,
+        )
         codes = np.array([c for c, _ in pairs], dtype=np.int64)
-        srt = np.argsort(syms)
-        syms_sorted = syms[srt]
+        srt = np.argsort(sym_keys)
+        syms_sorted = sym_keys[srt]
         codes_sorted = codes[srt]
-        win = np.lib.stride_tricks.sliding_window_view(data, length)
-        keys = np.ascontiguousarray(win).view(
-            np.dtype((np.void, length))
-        ).ravel()
+        mask = np.uint64((1 << (8 * length)) - 1) if length < 8 else np.uint64(2**64 - 1)
+        keys = (keys64 & mask)[: n - length + 1]
         idx = np.searchsorted(syms_sorted, keys)
         idx_c = np.minimum(idx, len(syms_sorted) - 1)
         hit = syms_sorted[idx_c] == keys
@@ -187,7 +199,7 @@ def estimate(sample: bytes, total_bytes: int) -> int:
     """Predicted encoded size of ``total_bytes`` from a small sample."""
     if total_bytes == 0:
         return 0
-    probe = sample[: 1 << 14]
+    probe = sample[: 1 << 12]
     if not probe:
         return total_bytes
     table = train(probe)

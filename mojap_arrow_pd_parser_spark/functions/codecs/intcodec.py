@@ -58,10 +58,42 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_STATS_SAMPLE = 1 << 18
+
+
 def int_stats(a: np.ndarray) -> dict:
-    """One cheap vectorized pass of chunk statistics for the cost model."""
+    """One cheap vectorized pass of chunk statistics for the cost model.
+
+    For large chunks the run/delta/ndv probes run on a 256K-value
+    prefix+stride sample (the estimator only ranks codecs; the chosen
+    encoder always does its own exact full pass). min/max stay exact —
+    FOR width must be safe for the whole chunk.
+    """
     n = len(a)
     itemsize = a.dtype.itemsize
+    if n > _STATS_SAMPLE:
+        sample_stats = int_stats(a[: _STATS_SAMPLE])
+        u = _to_u64(a)
+        if a.dtype.kind == "u":
+            ref = u.min()
+        else:
+            ref = np.uint64(u.view(np.int64).min())
+        with np.errstate(over="ignore"):
+            for_width = bit_width(int((u - ref).max()))
+        scale = n / _STATS_SAMPLE
+        return {
+            "n": n,
+            "itemsize": itemsize,
+            "for_width": for_width,
+            "delta_width": sample_stats["delta_width"],
+            "n_runs": max(1, int(sample_stats["n_runs"] * scale)),
+            # a saturated sample ndv means "looks all-distinct globally"
+            "ndv_est": (
+                n
+                if sample_stats["ndv_est"] >= _STATS_SAMPLE // 2
+                else max(1, sample_stats["ndv_est"])
+            ),
+        }
     if n == 0:
         return {
             "n": 0,

@@ -36,6 +36,7 @@ import uuid
 import zlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,6 +89,7 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
     n_rows = table.num_rows
     cols, codecs_j, metas, payloads, crcs = [], {}, [], [], []
     in_bytes = out_bytes = 0
+    col_in_bytes = []
     for name in table.column_names:
         arr = table.column(name).combine_chunks()
         meta, payload = encode_array(arr)
@@ -97,6 +99,7 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         metas.append(json.dumps(meta, separators=(",", ":")))
         payloads.append(payload)
         crcs.append(f"{zlib.crc32(payload):08x}")
+        col_in_bytes.append(arr.nbytes)
         in_bytes += arr.nbytes
         out_bytes += len(payload) + len(metas[-1])
     enc = pa.Table.from_arrays(
@@ -107,10 +110,7 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
             pa.array(metas, type=pa.string()),
             pa.array(payloads, type=pa.large_binary()),
             pa.array([n_rows] * len(cols), type=pa.int64()),
-            pa.array(
-                [table.column(c).combine_chunks().nbytes for c in cols],
-                type=pa.int64(),
-            ),
+            pa.array(col_in_bytes, type=pa.int64()),
             pa.array([len(p) for p in payloads], type=pa.int64()),
             pa.array(crcs, type=pa.string()),
         ],
@@ -183,6 +183,7 @@ def encode_table(
     n_chunks: int = 64,
     resume: bool = True,
     seed: int = 42,
+    consolidate: bool = True,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
@@ -209,24 +210,41 @@ def encode_table(
     chunks_dir = os.path.join(out_dir, "chunks")
     manifest_dir = os.path.join(out_dir, "manifest")
 
-    def encode_group(table: pa.Table) -> pa.Table:
-        chunk_id = int(table.column("_bucket")[0].as_py())
-        table = table.drop_columns(["_bucket"])
-        enc, manifest = encode_chunk_table(table, chunk_id, key)
-        fname = f"chunk-{chunk_id:05d}.parquet"
-        tmp = os.path.join(chunks_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
-        pq.write_table(enc, tmp, compression="none")
-        os.replace(tmp, os.path.join(chunks_dir, fname))
-        manifest["file"] = fname
-        manifest["file_bytes"] = os.path.getsize(os.path.join(chunks_dir, fname))
-        mtmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(mtmp, os.path.join(manifest_dir, f"{chunk_id:05d}.json"))
-        manifest.pop("file_bytes")
-        return _manifest_batch(manifest)
+    def encode_partition(batches):
+        """mapInArrow task body: regroup the partition's batches by
+        bucket id in-worker (a hash-repartitioned partition holds only
+        a few buckets), encode and commit each chunk.
 
-    mdf = bdf.groupBy("_bucket").applyInArrow(encode_group, schema=MANIFEST_SCHEMA)
+        mapInArrow is used instead of groupBy().applyInArrow because it
+        skips the per-partition sort the grouped variant inserts — the
+        shuffle already co-located each bucket."""
+        collected = [b for b in batches if b.num_rows]
+        if not collected:
+            return
+        table = pa.Table.from_batches(collected)
+        buckets = table.column("_bucket").combine_chunks()
+        for chunk_id in sorted(set(buckets.to_pylist())):
+            part = table.filter(pc.equal(buckets, chunk_id))
+            part = part.drop_columns(["_bucket"])
+            enc, manifest = encode_chunk_table(part, int(chunk_id), key)
+            fname = f"chunk-{int(chunk_id):05d}.parquet"
+            tmp = os.path.join(chunks_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
+            pq.write_table(enc, tmp, compression="none")
+            os.replace(tmp, os.path.join(chunks_dir, fname))
+            manifest["file"] = fname
+            manifest["file_bytes"] = os.path.getsize(
+                os.path.join(chunks_dir, fname)
+            )
+            mtmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(mtmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(mtmp, os.path.join(manifest_dir, f"{int(chunk_id):05d}.json"))
+            manifest.pop("file_bytes")
+            yield _manifest_batch(manifest).to_batches()[0]
+
+    mdf = bdf.repartition(plan["n_chunks"], "_bucket").mapInArrow(
+        encode_partition, schema=MANIFEST_SCHEMA
+    )
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
@@ -239,8 +257,11 @@ def encode_table(
         m.pop("file_bytes", None)
         rows.append(m)
     cons = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) if rows else None
-    if cons is not None:
+    if cons is None:
+        return mdf.limit(0)
+    if consolidate:
         cons.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "manifest.parquet")
         )
-    return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+        return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+    return cons

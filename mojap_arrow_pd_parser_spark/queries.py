@@ -288,7 +288,7 @@ def q08_conform_cast(spark, sf):
         _cents(F.col("l_quantity")).alias("qty_x100"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_iso"),
         is_returned.alias("is_returned"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 SQL_Q08 = """
@@ -316,7 +316,7 @@ def q09_timestamp_conform(spark, sf):
     return ev.select(
         "event_id",
         F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("ts_iso"),
-    ).orderBy("event_id")
+    )
 
 
 SQL_Q09 = """
@@ -455,7 +455,7 @@ SQL_Q12 = _sql_minhash(8, 4)
 
 
 def q13_text_stats(spark, sf):
-    return textstats.text_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+    return textstats.text_stats(_t(spark, sf, "documents"))
 
 
 SQL_Q13 = r"""
@@ -474,7 +474,7 @@ FROM documents ORDER BY doc_id
 
 
 def q14_quality(spark, sf):
-    return textstats.quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
+    return textstats.quality_score(_t(spark, sf, "documents"))
 
 
 SQL_Q14 = r"""
@@ -498,7 +498,7 @@ FROM s ORDER BY doc_id
 
 
 def q15_lang_id(spark, sf):
-    return textstats.language_id(_t(spark, sf, "documents")).orderBy("doc_id")
+    return textstats.language_id(_t(spark, sf, "documents"))
 
 
 def _sql_lang_id() -> str:
