@@ -1,0 +1,89 @@
+"""spark-submit entry point for the encode job (north rule: runs via
+``spark-submit --py-files`` on a multi-executor cluster).
+
+Cluster usage (the package zip ships with the job):
+
+    cd /root/repo && zip -qr /tmp/mojap_spark.zip mojap_arrow_pd_parser_spark
+    spark-submit --py-files /tmp/mojap_spark.zip \
+        submit/encode_job.py --input <tokens parquet/iceberg path> \
+        --output <encoded table dir> --key doc_id --chunks 4096 [--resume]
+
+Local sandbox smoke:
+
+    spark-submit --master local[8] --py-files /tmp/mojap_spark.zip \
+        submit/encode_job.py --synthetic 10000 --output /tmp/submit_enc
+
+On a real cluster set ``--chunks`` so chunks land near 256 MB
+(total_bytes / 256MB); resume after any failure is automatic from the
+manifest sidecars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# direct `python submit/encode_job.py` runs: make the repo root
+# importable (spark-submit --py-files covers the cluster case)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_REPO, "mojap_arrow_pd_parser_spark")):
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="tokens table path (parquet dir)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic docs instead of --input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--chunks", type=int, default=64)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--verify", action="store_true",
+                   help="decode + round-trip verify after encoding")
+    args = p.parse_args()
+    if not args.synthetic and not args.input:
+        p.error("need --input or --synthetic")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mojap_encode_job").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+
+    from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+    from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+    if args.synthetic:
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+
+        df = tokens_table(spark, args.synthetic)
+    else:
+        df = spark.read.parquet(args.input)
+
+    t0 = time.monotonic()
+    manifest = encode_table(
+        spark, df, args.output, key=args.key, n_chunks=args.chunks,
+        resume=not args.no_resume,
+    )
+    stats = manifest.groupBy().agg(
+        {"n_rows": "sum", "in_bytes": "sum", "out_bytes": "sum"}
+    ).collect()[0]
+    result = {
+        "chunks": manifest.count(),
+        "rows": stats["sum(n_rows)"],
+        "in_bytes": stats["sum(in_bytes)"],
+        "out_bytes": stats["sum(out_bytes)"],
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    if args.verify:
+        result["verify"] = verify_roundtrip(spark, df, args.output, key=args.key)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
