@@ -184,16 +184,23 @@ def encode_table(
     resume: bool = True,
     seed: int = 42,
     consolidate: bool = True,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
     Resumable: rerunning after a kill skips every bucket whose sidecar
     verifies (N13). The returned DataFrame reads the consolidated
     manifest (covers prior runs too).
+
+    ``partition_col`` switches to partition-salted chunking: hot
+    partition values (e.g. a 70%% ``source``) are split across salts
+    proportional to their size (N10) instead of range buckets on the key.
     """
     os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
-    plan = load_or_make_plan(spark, df, out_dir, key, n_chunks, seed=seed)
+    plan = load_or_make_plan(
+        spark, df, out_dir, key, n_chunks, seed=seed, partition_col=partition_col
+    )
     if "schema_json" not in plan:
         plan["schema_json"] = df.schema.json()
         tmp = os.path.join(out_dir, "plan.json.tmp")

@@ -62,6 +62,50 @@ def make_plan(
     }
 
 
+def make_partitioned_plan(
+    df: DataFrame,
+    key: str,
+    partition_col: str,
+    n_chunks: int,
+    seed: int = 42,
+) -> dict:
+    """Partition-by-``partition_col`` plan with EXPLICIT skew salting
+    (SURVEY N10 / north rule "salting of skewed source partitions").
+
+    Each partition value gets a number of salts proportional to its row
+    count — a 70%-hot ``source`` value is split across ~70% of the
+    chunk budget instead of stalling one straggler task. Chunk id =
+    dense offset(partition) + hash(key) % salts(partition); the salt
+    map persists in the plan so chunk identity stays stable for resume.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(partition_col).count().collect()
+    }
+    total = sum(counts.values()) or 1
+    salts: dict = {}
+    for val, cnt in sorted(counts.items(), key=lambda kv: str(kv[0])):
+        salts[val] = max(1, round(n_chunks * cnt / total))
+    offsets: dict = {}
+    base = 0
+    for val in salts:
+        offsets[val] = base
+        base += salts[val]
+    return {
+        "version": 1,
+        "mode": "partition_salt",
+        "key": key,
+        "partition_col": partition_col,
+        "salts": salts,
+        "offsets": offsets,
+        "n_chunks": base + 1,  # +1: overflow bucket for unseen values
+        "overflow_bucket": base,
+        "n_rows": total,
+        "seed": seed,
+        "boundaries": [],
+    }
+
+
 def load_or_make_plan(
     spark: SparkSession,
     df: DataFrame,
@@ -69,12 +113,16 @@ def load_or_make_plan(
     key: str,
     n_chunks: int,
     seed: int = 42,
+    partition_col: str | None = None,
 ) -> dict:
     path = os.path.join(out_dir, PLAN_FILE)
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)
-    plan = make_plan(df, key, n_chunks, seed=seed)
+    if partition_col:
+        plan = make_partitioned_plan(df, key, partition_col, n_chunks, seed=seed)
+    else:
+        plan = make_plan(df, key, n_chunks, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -90,6 +138,22 @@ def assign_buckets(df: DataFrame, plan: dict, col_name: str = "_bucket") -> Data
     as a pure JVM fold over a literal boundary array (codegen'd; ~4x
     faster than a pandas UDF and keeps the stage whole-codegen).
     """
+    if plan.get("mode") == "partition_salt":
+        p = plan["partition_col"]
+        key = plan["key"]
+        salt_entries = []
+        off_entries = []
+        for val, n in plan["salts"].items():
+            salt_entries += [F.lit(val), F.lit(n)]
+            off_entries += [F.lit(val), F.lit(plan["offsets"][val])]
+        salts_map = F.create_map(*salt_entries)
+        offs_map = F.create_map(*off_entries)
+        bucket = offs_map[F.col(p)] + F.pmod(
+            F.xxhash64(F.col(key)), salts_map[F.col(p)]
+        )
+        # partition values unseen at plan time land in the overflow bucket
+        bucket = F.coalesce(bucket, F.lit(plan["overflow_bucket"]))
+        return df.withColumn(col_name, bucket.cast("int"))
     boundaries = plan["boundaries"]
     key = plan["key"]
     if not boundaries:

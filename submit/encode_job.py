@@ -41,6 +41,9 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--key", default="doc_id")
     p.add_argument("--chunks", type=int, default=64)
+    p.add_argument("--partition-col", default=None,
+                   help="partition-salted chunking on this column "
+                        "(hot values split across proportional salts)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode + round-trip verify after encoding")
@@ -67,7 +70,7 @@ def main() -> None:
     t0 = time.monotonic()
     manifest = encode_table(
         spark, df, args.output, key=args.key, n_chunks=args.chunks,
-        resume=not args.no_resume,
+        resume=not args.no_resume, partition_col=args.partition_col,
     )
     stats = manifest.groupBy().agg(
         {"n_rows": "sum", "in_bytes": "sum", "out_bytes": "sum"}

@@ -254,6 +254,30 @@ class TestFormatInference:
         assert human_to_bytes(1024) == 1024
 
 
+class TestCsvDialect:
+    """csv_options fixture (F3): ';' delimiter, "'" quote, '\\' escape,
+    custom null string — the reference's CSV dialect passthrough
+    (tests/test_str_conformance.py:30-65)."""
+
+    def test_dialect_options(self, spark, tmp_path):
+        p = tmp_path / "dialect.csv"
+        p.write_text(
+            "i;my_string\n"
+            "1;'semi;colon'\n"
+            "2;NULL_STRING\n"
+            "3;'it\\'s quoted'\n",
+            encoding="utf-8",
+        )
+        meta = {"columns": [{"name": "i", "type": "int64"},
+                            {"name": "my_string", "type": "string"}]}
+        df = reader.read(
+            spark, str(p), metadata=meta,
+            sep=";", quote="'", escape="\\", nullValue="NULL_STRING",
+        )
+        rows = {r.i: r.my_string for r in df.collect()}
+        assert rows == {1: "semi;colon", 2: None, 3: "it's quoted"}
+
+
 FORMATS = ["csv", "json", "parquet"]
 
 

@@ -113,6 +113,30 @@ def test_resume_skips_done_chunks(spark, src, tmp_path):
     assert verify_roundtrip(spark, src, out)["mismatches"] == 0
 
 
+def test_partition_salted_encode(spark, src, tmp_path):
+    """N10: encode partitioned by the skewed `source` column — the hot
+    value gets salts proportional to its share, round-trip holds."""
+    import collections
+
+    out = str(tmp_path / "enc_by_source")
+    m = encode_table(
+        spark, src, out, key="doc_id", n_chunks=16, partition_col="source"
+    ).collect()
+    plan = load_plan(out)
+    assert plan["mode"] == "partition_salt"
+    hot = plan["salts"].get("common_crawl", 0)
+    assert hot >= 8, f"hot source should get most salts, got {plan['salts']}"
+    assert all(v >= 1 for v in plan["salts"].values())
+    # chunk sizes: no chunk holds more than ~3x the mean (skew tamed)
+    sizes = [r.n_rows for r in m]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes))
+    assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+    # resume with the persisted salt map: nothing re-encoded
+    done = collections.Counter(scan_done_chunks(out))
+    encode_table(spark, src, out, key="doc_id", n_chunks=16, partition_col="source")
+    assert collections.Counter(scan_done_chunks(out)) == done
+
+
 def test_plan_stable_across_runs(spark, src, tmp_path):
     out = str(tmp_path / "enc")
     encode_table(spark, src, out, key="doc_id", n_chunks=8)
