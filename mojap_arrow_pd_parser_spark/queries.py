@@ -666,6 +666,117 @@ def q23_multimodal_features(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Additional relational coverage: set ops, rollup, as-of join
+# ---------------------------------------------------------------------------
+
+
+def q24_set_ops(spark, sf):
+    """Set operations: customers with orders vs high-balance customers."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    high_bal = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = with_orders.intersect(high_bal).withColumn("grp", F.lit("both"))
+    only_orders = with_orders.exceptAll(high_bal).withColumn("grp", F.lit("orders_only"))
+    either = with_orders.union(high_bal).distinct().withColumn("grp", F.lit("either"))
+    return (
+        both.unionAll(only_orders).unionAll(either)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("grp")
+    )
+
+
+SQL_Q24 = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+high_bal AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+u AS (
+  SELECT custkey, 'both' AS grp FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM high_bal)
+  UNION ALL
+  SELECT custkey, 'orders_only' AS grp FROM (SELECT custkey FROM with_orders EXCEPT ALL SELECT custkey FROM high_bal)
+  UNION ALL
+  SELECT custkey, 'either' AS grp FROM (SELECT custkey FROM with_orders UNION SELECT custkey FROM high_bal)
+)
+SELECT grp, COUNT(*) AS n FROM u GROUP BY grp ORDER BY grp
+"""
+
+
+def q25_rollup(spark, sf):
+    """ROLLUP aggregation over (returnflag, linestatus) with grouping ids."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_x100"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+SQL_Q25 = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_x100,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q26_asof_join(spark, sf):
+    """As-of join (Spark has no native one): for each 'purchase' event,
+    the user's most recent prior-or-equal 'login' event. Implemented
+    with the scalable union+window pattern; the oracle uses DuckDB's
+    native ASOF JOIN — two independent algorithms cross-validated."""
+    ev = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts")
+    )
+    logins = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("login_id"), F.col("ts")
+    )
+    tagged = purchases.withColumn("is_p", F.lit(1)).withColumn(
+        "login_id", F.lit(None).cast("long")
+    ).unionByName(
+        logins.withColumn("is_p", F.lit(0)).withColumn(
+            "purchase_id", F.lit(None).cast("long")
+        ),
+        allowMissingColumns=False,
+    )
+    # order logins before purchases at equal ts (asof <=)
+    w = Window.partitionBy("user_id").orderBy("ts", "is_p")
+    filled = tagged.withColumn(
+        "last_login",
+        F.last("login_id", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        filled.filter(F.col("is_p") == 1)
+        .filter(F.col("last_login").isNotNull())
+        .select("user_id", "purchase_id", F.col("last_login").alias("login_id"))
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+SQL_Q26 = """
+SELECT p.user_id, p.event_id AS purchase_id, l.event_id AS login_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+  ON p.user_id = l.user_id AND p.ts >= l.ts
+ORDER BY p.user_id, purchase_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -689,6 +800,9 @@ QUERIES = {
     "q17_embedding_neardup": (q17_embedding_neardup, SQL_Q17),
     "q18_stream_window": (q18_stream_window, SQL_Q18),
     "q19_salted_agg": (q19_salted_agg, SQL_Q19),
+    "q24_set_ops": (q24_set_ops, SQL_Q24),
+    "q25_rollup": (q25_rollup, SQL_Q25),
+    "q26_asof_join": (q26_asof_join, SQL_Q26),
     # engine / non-SQL-expressible: rows-only driver check
     "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
     "q21_simhash": (q21_simhash, None),
