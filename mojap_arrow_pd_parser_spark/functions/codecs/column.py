@@ -130,7 +130,10 @@ def _cascade_codec(name: str):
 
 
 def encode_array(
-    arr: pa.Array, cascade: str | None = DEFAULT_CASCADE, _outer: bool = True
+    arr: pa.Array,
+    cascade: str | None = DEFAULT_CASCADE,
+    _outer: bool = True,
+    _parent_cascade: str | None = None,
 ) -> tuple[dict, bytes]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -153,8 +156,21 @@ def encode_array(
         kind = "float"
         np_f = np.float32 if pa.types.is_float32(t) else np.float64
         np_u = np.uint32 if pa.types.is_float32(t) else np.uint64
-        vals = _float_values(arr, np_f, mask).view(np_u)
+        fvals = _float_values(arr, np_f, mask)
+        vals = fvals.view(np_u)
         im, ip = encode_int(vals, allow=("plain", "ffor", "rle", "dict"))
+        # planes only pay off under a downstream compressor — ours or an
+        # enclosing list column's
+        eff_cascade = cascade or _parent_cascade
+        incompressible = len(ip) > 0.9 * fvals.nbytes
+        if incompressible and eff_cascade and len(fvals) >= 1024:
+            # byte-plane split: transposing IEEE bytes groups the
+            # sign/exponent planes, which the cascade then compresses
+            # far better than interleaved floats (classic float trick,
+            # cf. blosc "shuffle"). Chosen by a sampled probe.
+            pm, pp = _maybe_byteplane(fvals, eff_cascade)
+            if pm is not None:
+                im, ip = pm, pp
         w.add("values", im, ip)
     elif pa.types.is_boolean(t):
         kind = "bool"
@@ -173,7 +189,9 @@ def encode_array(
         w.add("lengths", lm, lp)
         values = arr.flatten()  # excludes null slots' ranges
         if not _encode_list_clustered(values, lens_np, w, meta):
-            vmeta, vpay = encode_array(values, cascade=None, _outer=False)
+            vmeta, vpay = encode_array(
+                values, cascade=None, _outer=False, _parent_cascade=cascade
+            )
             w.add("child", vmeta, vpay)
     else:
         raise NotImplementedError(f"encode_array: unsupported type {t}")
@@ -195,6 +213,55 @@ def _int_values(arr, storage_t, np_dtype, mask):
     if mask is not None:
         ints = pc.fill_null(ints, 0)
     return np.asarray(ints).astype(np_dtype, copy=False)
+
+
+def _maybe_byteplane(fvals: np.ndarray, cascade: str):
+    """Byte-plane split with per-plane compression, if a sampled probe
+    says it beats compressing the interleaved bytes by >=10%.
+
+    Each IEEE byte plane is compressed independently (the exponent/sign
+    plane is low-entropy even when mantissas are random; compressing
+    planes separately also avoids zstd-1's weak cross-segment modeling,
+    measured: concat-planes 60744 vs per-plane sum ~54k on 64 KiB)."""
+    itemsize = fvals.dtype.itemsize
+    codec = _cascade_codec(cascade)
+    sample = fvals[:16384]
+    plain_c = len(codec.compress(sample.tobytes(), asbytes=True))
+    s_planes = sample.view(np.uint8).reshape(-1, itemsize)
+    probe = sum(
+        len(codec.compress(np.ascontiguousarray(s_planes[:, i]).tobytes(), asbytes=True))
+        for i in range(itemsize)
+    )
+    if probe >= 0.98 * plain_c:
+        return None, None
+    planes = fvals.view(np.uint8).reshape(-1, itemsize)
+    parts = [
+        codec.compress(np.ascontiguousarray(planes[:, i]).tobytes(), asbytes=True)
+        for i in range(itemsize)
+    ]
+    if sum(len(p) for p in parts) >= fvals.nbytes:
+        return None, None
+    meta = {
+        "codec": "byteplane",
+        "n": len(fvals),
+        "dtype": fvals.dtype.str,
+        "cascade": cascade,
+        "plane_lens": [len(p) for p in parts],
+    }
+    return meta, b"".join(parts)
+
+
+def _decode_byteplane(meta: dict, payload: bytes) -> np.ndarray:
+    dtype = np.dtype(meta["dtype"])
+    n = meta["n"]
+    codec = _cascade_codec(meta["cascade"])
+    out = np.empty((n, dtype.itemsize), dtype=np.uint8)
+    off = 0
+    for i, ln in enumerate(meta["plane_lens"]):
+        plane = codec.decompress(payload[off : off + ln], n, asbytes=True)
+        out[:, i] = np.frombuffer(plane, dtype=np.uint8)
+        off += ln
+    return out.reshape(-1).view(dtype)[:n]
 
 
 def _float_values(arr, np_f, mask):
@@ -449,9 +516,12 @@ def decode_array(meta: dict, payload: bytes) -> pa.Array:
         arr = pa.array(vals, type=storage_t).view(t)
     elif kind == "float":
         im, ip = r.get("values")
-        bits = decode_int(im, ip)
         np_f = np.float32 if pa.types.is_float32(t) else np.float64
-        arr = pa.array(bits.view(np_f), type=t)
+        if im.get("codec") == "byteplane":
+            arr = pa.array(_decode_byteplane(im, ip), type=t)
+        else:
+            bits = decode_int(im, ip)
+            arr = pa.array(bits.view(np_f), type=t)
     elif kind == "bool":
         im, ip = r.get("values")
         arr = pa.array(decode_int(im, ip).astype(bool), type=t)

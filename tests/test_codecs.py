@@ -159,6 +159,25 @@ class TestColumnCodec:
         out = decode_array(meta, payload)
         assert np.isnan(out[0].as_py())
 
+    def test_float_byteplane(self):
+        """Plane-friendly floats (narrow exponent range) trigger the
+        byte-plane split and round-trip exactly; the probe declines on
+        plane-unfriendly data."""
+        rng = np.random.default_rng(3)
+        friendly = (rng.standard_normal(20_000) * 0.1).astype(np.float32)
+        arr = pa.array(friendly)
+        meta, payload = encode_array(arr)
+        sec = next(s for s in meta["sections"] if s["name"] == "values")
+        assert sec["meta"]["codec"] == "byteplane"
+        assert len(payload) < 0.85 * arr.nbytes
+        out = decode_array(meta, payload)
+        np.testing.assert_array_equal(np.asarray(out), friendly)
+        # inside a list column the outer cascade justifies planes too
+        larr = pa.array([friendly[i * 100 : (i + 1) * 100].tolist() for i in range(200)],
+                        type=pa.list_(pa.float32()))
+        lmeta, lpayload = _arrow_roundtrip(larr)
+        assert len(lpayload) < 0.85 * larr.nbytes
+
     def test_bool(self):
         _arrow_roundtrip(pa.array([True, False, None, True, True, True]))
 
