@@ -252,6 +252,10 @@ def encode_table(
     mdf = bdf.repartition(plan["n_chunks"], "_bucket").mapInArrow(
         encode_partition, schema=MANIFEST_SCHEMA
     )
+    return _finish_encode(spark, mdf, out_dir, consolidate)
+
+
+def _finish_encode(spark, mdf, out_dir, consolidate):
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
@@ -272,3 +276,94 @@ def encode_table(
         )
         return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
     return cons
+
+
+def encode_files(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    key: str = "doc_id",
+    resume: bool = True,
+    consolidate: bool = True,
+) -> DataFrame:
+    """Shuffle-FREE encode aligned to source files.
+
+    At petabyte scale the range shuffle of :func:`encode_table` is the
+    dominant cost when the input is already reasonably partitioned
+    (e.g. an Iceberg table written sorted by doc_id). This path maps
+    one source parquet file -> one encoded chunk with NO exchange at
+    all: a file-list DataFrame fans out and each task reads its file
+    with pyarrow and commits the chunk. Chunk identity = the stable
+    file index recorded in plan.json, so resume semantics are identical
+    to the shuffled path. Trade-off: chunk size = source file size, and
+    no global key-range clustering beyond what the input already has.
+    """
+    import glob as _glob
+
+    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    plan_path = os.path.join(out_dir, "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+    else:
+        files = sorted(
+            f
+            for f in _glob.glob(os.path.join(input_dir, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {input_dir}")
+        schema_json = spark.read.parquet(input_dir).schema.json()
+        plan = {
+            "version": 1,
+            "mode": "file_aligned",
+            "key": key,
+            "files": files,
+            "n_chunks": len(files),
+            "schema_json": schema_json,
+        }
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, plan_path)
+
+    todo = list(enumerate(plan["files"]))
+    if resume:
+        done = scan_done_chunks(out_dir)
+        todo = [(i, f) for i, f in todo if i not in done]
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    manifest_dir = os.path.join(out_dir, "manifest")
+
+    def encode_file(batches):
+        import pyarrow.parquet as _pq
+
+        for b in batches:
+            for row in b.to_pylist():
+                chunk_id, path = int(row["chunk_id"]), row["path"]
+                table = _pq.read_table(path)
+                enc, manifest = encode_chunk_table(table, chunk_id, key)
+                fname = f"chunk-{chunk_id:05d}.parquet"
+                tmp = os.path.join(chunks_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
+                pq.write_table(enc, tmp, compression="none")
+                os.replace(tmp, os.path.join(chunks_dir, fname))
+                manifest["file"] = fname
+                manifest["file_bytes"] = os.path.getsize(
+                    os.path.join(chunks_dir, fname)
+                )
+                mtmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+                with open(mtmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(mtmp, os.path.join(manifest_dir, f"{chunk_id:05d}.json"))
+                manifest.pop("file_bytes")
+                yield _manifest_batch(manifest).to_batches()[0]
+
+    if todo:
+        fdf = spark.createDataFrame(
+            [(i, f) for i, f in todo], "chunk_id int, path string"
+        ).repartition(len(todo))
+        mdf = fdf.mapInArrow(encode_file, schema=MANIFEST_SCHEMA)
+    else:
+        mdf = spark.createDataFrame([], MANIFEST_SCHEMA)
+    return _finish_encode(spark, mdf, out_dir, consolidate)

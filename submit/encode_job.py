@@ -44,6 +44,9 @@ def main() -> None:
     p.add_argument("--partition-col", default=None,
                    help="partition-salted chunking on this column "
                         "(hot values split across proportional salts)")
+    p.add_argument("--align-files", action="store_true",
+                   help="shuffle-free encode: one source parquet file "
+                        "-> one chunk (requires --input)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode + round-trip verify after encoding")
@@ -58,7 +61,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
-    from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+    from mojap_arrow_pd_parser_spark.operators.encode import (
+        encode_files,
+        encode_table,
+    )
+
+    if args.align_files and not args.input:
+        p.error("--align-files requires --input (a parquet directory)")
 
     if args.synthetic:
         from mojap_arrow_pd_parser_spark.datagen import tokens_table
@@ -68,10 +77,16 @@ def main() -> None:
         df = spark.read.parquet(args.input)
 
     t0 = time.monotonic()
-    manifest = encode_table(
-        spark, df, args.output, key=args.key, n_chunks=args.chunks,
-        resume=not args.no_resume, partition_col=args.partition_col,
-    )
+    if args.align_files:
+        manifest = encode_files(
+            spark, args.input, args.output, key=args.key,
+            resume=not args.no_resume,
+        )
+    else:
+        manifest = encode_table(
+            spark, df, args.output, key=args.key, n_chunks=args.chunks,
+            resume=not args.no_resume, partition_col=args.partition_col,
+        )
     stats = manifest.groupBy().agg(
         {"n_rows": "sum", "in_bytes": "sum", "out_bytes": "sum"}
     ).collect()[0]

@@ -137,6 +137,29 @@ def test_partition_salted_encode(spark, src, tmp_path):
     assert collections.Counter(scan_done_chunks(out)) == done
 
 
+def test_encode_files_shuffle_free(spark, src, tmp_path):
+    """File-aligned encode: zero shuffle, resumable by file index."""
+    from mojap_arrow_pd_parser_spark.operators.encode import encode_files
+
+    src_dir = str(tmp_path / "src_parquet")
+    src.repartition(6).write.mode("overwrite").parquet(src_dir)
+    out = str(tmp_path / "enc_files")
+    m = encode_files(spark, src_dir, out, key="doc_id").collect()
+    assert len(m) == 6
+    stored = spark.read.parquet(src_dir)
+    assert verify_roundtrip(spark, stored, out)["mismatches"] == 0
+    # resume: drop one sidecar, rerun -> only that file re-encoded
+    os.remove(os.path.join(out, "manifest", "00003.json"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, "chunks", f))
+        for f in os.listdir(os.path.join(out, "chunks"))
+    }
+    encode_files(spark, src_dir, out, key="doc_id")
+    for f, t in mtimes.items():
+        changed = os.path.getmtime(os.path.join(out, "chunks", f)) > t
+        assert changed == (f == "chunk-00003.parquet"), f
+
+
 def test_plan_stable_across_runs(spark, src, tmp_path):
     out = str(tmp_path / "enc")
     encode_table(spark, src, out, key="doc_id", n_chunks=8)
