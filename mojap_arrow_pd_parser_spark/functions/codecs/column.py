@@ -283,7 +283,10 @@ def _bool_values(arr, mask):
 # per-segment stats, permute rows class-contiguous, and give each class
 # section its own auto-selected codec. The permutation is implied by the
 # stored class array (stable sort is deterministic), so the only extra
-# state is 2 bits/row.
+# state is 2 bits/row. The row-permutation-for-RLE idea follows
+# "Column Partition and Permutation for Run Length Encoding in
+# Columnar Databases" (SIGMOD 2020), restricted to a stable
+# class-partition so the permutation needs no explicit storage.
 #
 # MEASURED (bench chunk, 3.7M mixed-regime values): clustering matches
 # flat+zstd on ratio (0.641 vs 0.642) at ~25x the CPU — the zstd

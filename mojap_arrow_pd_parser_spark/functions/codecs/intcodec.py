@@ -13,6 +13,13 @@ per candidate, argmin, encode winner, fall back to plain if the actual
 payload regressed. This mirrors — per column-chunk and dynamic — the
 reference's static engine-per-format registry
 (/root/reference/arrow_pd_parser/_readers.py:410-471).
+
+Public-knowledge basis: offering BOTH frame-of-reference and delta as
+separate candidates (rather than always delta) follows the findings of
+"Can Delta Compete with Frame-of-Reference for Lightweight Integer
+Compression?" (VLDB 2024) — FOR wins on unsorted narrow-range data,
+delta on sorted/clustered data; the per-chunk cost model picks per
+case instead of hard-coding either.
 """
 
 from __future__ import annotations
