@@ -776,6 +776,131 @@ ORDER BY p.user_id, purchase_id
 """
 
 
+def q27_window_suite(spark, sf):
+    """Window-function coverage: rank/dense_rank/row_number/ntile/lag
+    running sums over customer order history."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_c = _cents(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(
+            Window.partitionBy("o_custkey").orderBy(price_c.desc(), "o_orderkey")
+        ).alias("price_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.sum(price_c).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_x100"),
+    )
+
+
+SQL_Q27 = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS price_rank,
+       ntile(4) OVER w AS quartile,
+       lag(o_orderkey) OVER w AS prev_order,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_x100
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q28_dup_components(spark, sf):
+    """Connected components over the near-dup candidate graph (the
+    at-scale dedup closer): iterative min-label propagation, cross-
+    validated against a DuckDB recursive-CTE transitive closure."""
+    corpus = _duplicated_docs(spark, sf, near=True)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(8):  # diameter bound for near-dup graphs
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("size"), F.max("id").alias("max_id"))
+        .orderBy("comp")
+    )
+
+
+SQL_Q28 = f"""
+WITH RECURSIVE corpus AS ({_SQL_DUP_DOCS_NEAR}),
+docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+words AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE n_inter >= (sa.n_sh + sb.n_sh - n_inter) * 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS comp
+  FROM reach GROUP BY a
+)
+SELECT comp, COUNT(*) AS size, CAST(MAX(id) AS BIGINT) AS max_id
+FROM comp GROUP BY comp ORDER BY comp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -803,6 +928,8 @@ QUERIES = {
     "q24_set_ops": (q24_set_ops, SQL_Q24),
     "q25_rollup": (q25_rollup, SQL_Q25),
     "q26_asof_join": (q26_asof_join, SQL_Q26),
+    "q27_window_suite": (q27_window_suite, SQL_Q27),
+    "q28_dup_components": (q28_dup_components, SQL_Q28),
     # engine / non-SQL-expressible: rows-only driver check
     "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
     "q21_simhash": (q21_simhash, None),

@@ -151,6 +151,65 @@ class TestStreaming:
             assert b.get((r.window_start, r.event_type)) == r.n
 
 
+class TestStatefulStreaming:
+    def test_sessionize_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessions == batch gaps-and-islands
+        sessions (modulo each user's final still-open session, which
+        only a timeout would close)."""
+        import shutil
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from mojap_arrow_pd_parser_spark.streaming.stateful import (
+            streaming_sessionize,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src_dir = tmp_path / "ev_src"
+        src_dir.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet"
+        )
+        q = streaming_sessionize(
+            spark, str(src_dir), events.schema, str(tmp_path / "ckpt"),
+            queryName="sessions_t",
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM sessions_t").collect()
+        }
+        # batch truth: gaps-and-islands, drop each user's last session
+        ts = F.col("ts").cast("timestamp")
+        w = Window.partitionBy("user_id").orderBy(ts)
+        gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
+        sess = (
+            events.withColumn(
+                "sid",
+                F.sum(
+                    F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+                ).over(w),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min(ts).alias("session_start"),
+                F.max(ts).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+        closed = sess.join(last_sid, "user_id").filter(
+            F.col("sid") < F.col("max_sid")
+        )
+        expected = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in closed.collect()
+        }
+        assert len(streamed) > 50
+        assert streamed == expected
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
