@@ -199,6 +199,19 @@ def main() -> None:
     verify_wall = round(time.monotonic() - t0, 3)
     ratio = round(dir_bytes(os.path.join(out, "chunks")) / dir_bytes(src), 4)
 
+    # secondary: the shuffle-free file-aligned path (min-of-2 warm)
+    from mojap_arrow_pd_parser_spark.operators.encode import encode_files
+
+    fa_out = f"/tmp/bench_enc_fa_{CPUS}"
+    fa_walls = []
+    for i in range(3):
+        shutil.rmtree(fa_out, ignore_errors=True)
+        t0 = time.monotonic()
+        encode_files(spark, src, fa_out, resume=False, consolidate=False)
+        if i > 0:
+            fa_walls.append(time.monotonic() - t0)
+    fa_wall = round(min(fa_walls), 3)
+
     # --- query suite -------------------------------------------------------
     qtimes = {}
     for name in BENCH_QUERIES:
@@ -222,6 +235,8 @@ def main() -> None:
         "sf": sf,
         "encode_tokens_per_sec": enc["tokens_per_sec"],
         "encode_tokens": enc["tokens"],
+        "encode_file_aligned_sec": fa_wall,
+        "encode_file_aligned_tokens_per_sec": round(enc["tokens"] / fa_wall),
         "compression_ratio_vs_parquet_snappy": ratio,
         "roundtrip_mismatches": vr["mismatches"],
         "scaling": {
