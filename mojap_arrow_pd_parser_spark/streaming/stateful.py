@@ -25,7 +25,8 @@ GAP_US_DEFAULT = 1_800_000_000  # 30 min
 
 
 def _fold_sessions(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: int
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState, gap_us: int,
+    use_timeout: bool,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
@@ -33,26 +34,32 @@ def _fold_sessions(
     else:
         start = end = n = None
     closed = []
-    ts_all = (
-        pd.concat([p["ts"] for p in pdfs]).sort_values().astype("int64")
-    )  # event-time micros
-    for t in ts_all:
-        t = int(t)
-        if n is None:
-            start, end, n = t, t, 1
-        elif t - end > gap_us:
+    if state.hasTimedOut:
+        if n is not None:
             closed.append((start, end, n))
-            start, end, n = t, t, 1
-        else:
-            end = max(end, t)
-            n += 1
-    if n is not None:
-        state.update((start, end, n))
-        # close the open session if no events arrive within the gap
-        state.setTimeoutDuration(gap_us // 1000)
-    if state.hasTimedOut and n is not None:
-        closed.append((start, end, n))
         state.remove()
+        n = None
+    else:
+        ts_all = (
+            pd.concat([p["ts"] for p in pdfs]).sort_values().astype("int64")
+        )  # event-time micros
+        for t in ts_all:
+            t = int(t)
+            if n is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_us:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = max(end, t)
+                n += 1
+        if n is not None:
+            state.update((start, end, n))
+            if use_timeout:
+                # close the open session if no events arrive within the
+                # gap (continuous mode only: a registered timeout keeps
+                # an availableNow query alive indefinitely)
+                state.setTimeoutDuration(gap_us // 1000)
     if closed:
         yield pd.DataFrame(
             {
@@ -71,8 +78,15 @@ def streaming_sessionize(
     checkpoint_dir: str,
     gap_us: int = GAP_US_DEFAULT,
     queryName: str = "sessions",
+    use_timeout: bool = False,
 ):
-    """readStream -> stateful sessionization -> memory sink (smoke use)."""
+    """readStream -> stateful sessionization -> memory sink.
+
+    ``use_timeout=True`` enables processing-time timeouts that close
+    idle open sessions — for continuously-running queries. Leave False
+    for drain-and-stop (availableNow) runs: a registered timeout keeps
+    the query alive forever waiting for the timer.
+    """
     ev = (
         spark.readStream.schema(schema)
         .parquet(events_dir)
@@ -80,14 +94,18 @@ def streaming_sessionize(
     )
 
     def fold(key, pdfs, state):
-        return _fold_sessions(key, pdfs, state, gap_us)
+        return _fold_sessions(key, pdfs, state, gap_us, use_timeout)
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
