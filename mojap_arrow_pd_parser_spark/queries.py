@@ -901,6 +901,75 @@ FROM comp GROUP BY comp ORDER BY comp
 """
 
 
+def q29_training_pipeline(spark, sf):
+    """Composite training-data pipeline in one plan: quality gate ->
+    exact dedup (keep lowest doc_id per fingerprint) -> per-source
+    token accounting. The shape of a real corpus-prep job."""
+    d = _t(spark, sf, "documents")
+    corpus = d.select("doc_id", "source", "text").unionAll(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text")
+    )
+    stats = textstats.text_stats(corpus, "text", "doc_id")
+    quality = (
+        (F.col("n_ws_tokens") >= 10)
+        & (F.col("n_punct") * 5 <= F.col("n_chars"))
+        & (F.col("n_digits") * 10 <= F.col("n_chars") * 3)
+        & ~((F.col("n_stop_en") == 0) & (F.col("n_ws_tokens") >= 20))
+    )
+    kept = stats.filter(quality)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        deduped.join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q29 = rf"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+),
+stats AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             w -> w IN ('the','and','of','to','in','is','that','it','for','was'))) AS n_stop_en,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM stats
+  WHERE n_ws_tokens >= 10 AND n_punct * 5 <= n_chars
+    AND n_digits * 10 <= n_chars * 3
+    AND NOT (n_stop_en = 0 AND n_ws_tokens >= 20)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM deduped GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -930,6 +999,7 @@ QUERIES = {
     "q26_asof_join": (q26_asof_join, SQL_Q26),
     "q27_window_suite": (q27_window_suite, SQL_Q27),
     "q28_dup_components": (q28_dup_components, SQL_Q28),
+    "q29_training_pipeline": (q29_training_pipeline, SQL_Q29),
     # engine / non-SQL-expressible: rows-only driver check
     "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
     "q21_simhash": (q21_simhash, None),

@@ -217,6 +217,18 @@ class TestNumericPolicies:
         ).collect()[0]
         assert got.a == 1 and got.b is None
 
+    def test_uint64_widening(self, spark):
+        """uint64 has no Spark integer home -> DECIMAL(20,0) carries the
+        full range (SURVEY §1.2 unsigned-widening row)."""
+        from decimal import Decimal
+
+        df = spark.createDataFrame([("18446744073709551615",), ("0",)], "u string")
+        meta = {"columns": [{"name": "u", "type": "uint64"}]}
+        got = sorted(
+            r.u for r in cast_spark_table_to_schema(df, meta).collect()
+        )
+        assert got == [Decimal("0"), Decimal("18446744073709551615")]
+
     def test_decimal(self, spark):
         from decimal import Decimal
 
