@@ -93,6 +93,7 @@ def int_stats(a: np.ndarray) -> dict:
             "itemsize": itemsize,
             "for_width": for_width,
             "delta_width": sample_stats["delta_width"],
+            "delta_mb_bytes": int(sample_stats["delta_mb_bytes"] * scale),
             "n_runs": max(1, int(sample_stats["n_runs"] * scale)),
             # a saturated sample ndv means "looks all-distinct globally"
             "ndv_est": (
@@ -127,6 +128,17 @@ def int_stats(a: np.ndarray) -> dict:
         else:
             delta_width = 0
             n_runs = 1
+    # miniblock-delta estimate: per-block max widths over the zigzag run
+    if n > 1:
+        starts = np.arange(0, len(zz), _MB_BLOCK)
+        bw = np.maximum.reduceat(zz, starts)
+        mb_bytes = 0
+        for i, s in enumerate(starts):
+            m = min(_MB_BLOCK, len(zz) - s)
+            mb_bytes += packed_nbytes(m, bit_width(int(bw[i])))
+        delta_mb_bytes = mb_bytes + len(starts)  # + widths array
+    else:
+        delta_mb_bytes = 0
     if n > _NDV_SAMPLE:
         step = n // _NDV_SAMPLE
         sample = a[::step]
@@ -142,6 +154,7 @@ def int_stats(a: np.ndarray) -> dict:
         "itemsize": itemsize,
         "for_width": for_width,
         "delta_width": delta_width,
+        "delta_mb_bytes": delta_mb_bytes,
         "n_runs": n_runs,
         "ndv_est": max(ndv_est, 1),
     }
@@ -151,7 +164,7 @@ def estimate_int_sizes(st: dict) -> dict:
     """Analytic encoded-size estimate (bytes) per codec from stats."""
     n = st["n"]
     if n == 0:
-        return {"plain": 0, "ffor": 0, "delta": 0, "rle": 0, "dict": 0}
+        return {"plain": 0, "ffor": 0, "delta": 0, "delta2": 0, "rle": 0, "dict": 0}
     runs = st["n_runs"]
     ndv = st["ndv_est"]
     dict_codes_w = bit_width(ndv - 1)
@@ -159,6 +172,7 @@ def estimate_int_sizes(st: dict) -> dict:
         "plain": n * st["itemsize"],
         "ffor": packed_nbytes(n, st["for_width"]) + _META_OVERHEAD,
         "delta": packed_nbytes(n - 1, st["delta_width"]) + 8 + _META_OVERHEAD,
+        "delta2": st.get("delta_mb_bytes", n * st["itemsize"]) + 8 + 2 * _META_OVERHEAD,
         # run values ~ffor-packed + run lengths ~32-bit worst case est
         "rle": (
             packed_nbytes(runs, st["for_width"])
@@ -253,6 +267,64 @@ def _dec_delta(meta: dict, payload: bytes) -> np.ndarray:
     return _from_u64(u, dtype)
 
 
+_MB_BLOCK = 2048
+
+
+def _enc_delta_mb(a: np.ndarray) -> tuple[dict, bytes]:
+    """Delta with per-miniblock bit widths (parquet DELTA_BINARY_PACKED
+    style): one outlier gap no longer inflates the width of the whole
+    chunk — crucial for sorted columns with occasional jumps
+    (timestamps, clustered ids)."""
+    n = len(a)
+    u = _to_u64(a)
+    if n <= 1:
+        return (
+            {"codec": "delta2", "n": n, "dtype": a.dtype.str,
+             "first": int(u[0]) if n else 0, "widths": []},
+            b"",
+        )
+    with np.errstate(over="ignore"):
+        zz = _zigzag(u[1:] - u[:-1])
+    widths = []
+    parts = []
+    for lo in range(0, len(zz), _MB_BLOCK):
+        block = zz[lo : lo + _MB_BLOCK]
+        w = bit_width(int(block.max()))
+        widths.append(w)
+        parts.append(pack(block, w))
+    meta = {
+        "codec": "delta2",
+        "n": n,
+        "dtype": a.dtype.str,
+        "first": int(u[0]),
+        "widths": widths,
+    }
+    return meta, b"".join(parts)
+
+
+def _dec_delta_mb(meta: dict, payload: bytes) -> np.ndarray:
+    n = meta["n"]
+    dtype = np.dtype(meta["dtype"])
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    zz = np.empty(n - 1, dtype=np.uint64)
+    off = 0
+    pos = 0
+    for w in meta["widths"]:
+        m = min(_MB_BLOCK, (n - 1) - pos)
+        nbytes = packed_nbytes(m, w)
+        zz[pos : pos + m] = unpack(payload[off : off + nbytes], w, m)
+        off += nbytes
+        pos += m
+    d = _unzigzag(zz)
+    u = np.empty(n, dtype=np.uint64)
+    u[0] = np.uint64(meta["first"])
+    with np.errstate(over="ignore"):
+        np.cumsum(d, out=u[1:])
+        u[1:] += u[0]
+    return _from_u64(u, dtype)
+
+
 def _enc_rle(a: np.ndarray) -> tuple[dict, bytes]:
     n = len(a)
     if n == 0:
@@ -266,7 +338,9 @@ def _enc_rle(a: np.ndarray) -> tuple[dict, bytes]:
         ends = np.concatenate((change, [n]))
         run_values = a[starts]
         run_lengths = (ends - starts).astype(np.int64)
-    vmeta, vpay = encode_int(run_values, codec=None, allow=("plain", "ffor", "delta", "dict"))
+    vmeta, vpay = encode_int(
+        run_values, codec=None, allow=("plain", "ffor", "delta", "delta2", "dict")
+    )
     lmeta, lpay = _enc_ffor(run_lengths)
     meta = {
         "codec": "rle",
@@ -312,6 +386,7 @@ _ENCODERS = {
     "plain": _enc_plain,
     "ffor": _enc_ffor,
     "delta": _enc_delta,
+    "delta2": _enc_delta_mb,
     "rle": _enc_rle,
     "dict": _enc_dict,
 }
@@ -322,6 +397,7 @@ _DECODERS = {
     ).astype(np.dtype(m["dtype"])),
     "ffor": _dec_ffor,
     "delta": _dec_delta,
+    "delta2": _dec_delta_mb,
     "rle": _dec_rle,
     "dict": _dec_dict,
 }

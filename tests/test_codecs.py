@@ -46,7 +46,7 @@ INT_EDGE_ARRAYS = {
     "uint16": RNG.integers(0, 2**16, 300).astype(np.uint16),
 }
 
-ALL_CODECS = ("plain", "ffor", "delta", "rle", "dict")
+ALL_CODECS = ("plain", "ffor", "delta", "delta2", "rle", "dict")
 
 
 class TestBitpack:

@@ -33,7 +33,7 @@ def any_int_array(draw):
     return np.array(vals, dtype=dtype)
 
 
-@given(any_int_array(), st.sampled_from(["plain", "ffor", "delta", "rle", "dict"]))
+@given(any_int_array(), st.sampled_from(["plain", "ffor", "delta", "delta2", "rle", "dict"]))
 @settings(**SETTINGS)
 def test_int_codec_roundtrip_property(a, codec):
     meta, payload = encode_int(a, codec=codec)
