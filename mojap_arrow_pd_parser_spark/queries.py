@@ -970,6 +970,34 @@ FROM deduped GROUP BY source ORDER BY source
 """
 
 
+def q30_pivot(spark, sf):
+    """Pivot: order counts + revenue cents per status, one row per
+    priority (portable CASE-pivot in the oracle)."""
+    o = _t(spark, sf, "orders")
+    price_c = _cents(F.col("o_totalprice"))
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(price_c))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("rev_f_x100"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("rev_o_x100"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("rev_p_x100"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q30 = """
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_f_x100,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_o_x100,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS rev_p_x100
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1000,6 +1028,7 @@ QUERIES = {
     "q27_window_suite": (q27_window_suite, SQL_Q27),
     "q28_dup_components": (q28_dup_components, SQL_Q28),
     "q29_training_pipeline": (q29_training_pipeline, SQL_Q29),
+    "q30_pivot": (q30_pivot, SQL_Q30),
     # engine / non-SQL-expressible: rows-only driver check
     "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
     "q21_simhash": (q21_simhash, None),
