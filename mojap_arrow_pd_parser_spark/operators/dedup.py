@@ -1,23 +1,69 @@
 """Deduplication operators for training-data pipelines.
 
-All pure DataFrame/SQL compositions (JVM-side, codegen'd); hash
-functions are md5 so every operator has an exact cross-engine oracle
-(DuckDB md5 == Spark md5). At scale:
+All pure DataFrame/SQL compositions (JVM-side, codegen'd). Where a
+hash is needed the operators take ONE base hash per shingle/word and
+derive the k-hash family arithmetically (affine transforms mod a
+Mersenne prime — the standard "one hash, k permutations" MinHash
+construction), so the per-row hashing cost is O(1) in k instead of
+O(k). The base hash is selectable:
+
+* ``xxhash64`` (default) — pure JVM integer path, the 100-TB mode;
+* ``md5`` — bit-identical in DuckDB (``CAST('0x'||substr(md5(x),1,7)
+  AS BIGINT)`` == Spark ``conv(substring(md5(x),1,7),16,10)``), used
+  by the oracle-checked driver queries.
+
+At scale:
 
 * exact dedup = one hash-aggregate shuffle on the digest;
-* n-gram Jaccard = explode -> distinct -> self-equi-join on shingle
-  (AQE handles the skew of hot shingles) -> pair aggregate;
+* n-gram Jaccard = explode -> distinct -> document-frequency cap on
+  hot shingles (a corpus-wide common trigram would otherwise make the
+  self-join quadratic in its frequency) -> self-equi-join on shingle
+  -> pair aggregate;
 * MinHash+LSH = the classic shingle -> K minhashes -> B bands ->
   bucket equi-join; candidate volume is controlled by (K, B), and the
-  join is an equi-join on the band digest so it broadcasts/shuffles
+  join is an equi-join on the band key so it broadcasts/shuffles
   like any other key join instead of a quadratic cross.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: modulus of the affine hash family (Mersenne prime 2^31-1); base
+#: hash and family parameters stay < 2^31 so a*h+b < 2^62 never
+#: overflows signed-64 arithmetic in either Spark (ANSI) or DuckDB.
+MERSENNE31 = (1 << 31) - 1
+
+
+def affine_params(n_hashes: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs for the k-minhash affine family.
+
+    Pure-python LCG so the identical constants can be embedded as
+    literals in the DuckDB oracle SQL (no numpy version dependence).
+    """
+    params, x = [], (seed * 2654435761 + 1) % (1 << 31)
+    for _ in range(n_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = (x % (MERSENNE31 - 1)) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def base_hash_expr(col, kind: str = "xxhash64") -> Column:
+    """Base shingle hash in [0, 2^31): one hash call per row, k-free.
+
+    ``md5`` keeps 28 bits (7 hex digits) so the DuckDB twin
+    ``CAST('0x'||substr(md5(x),1,7) AS BIGINT)`` is value-identical.
+    """
+    if kind == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    if kind == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(MERSENNE31))
+    raise ValueError(f"unknown base hash {kind!r} (md5|xxhash64)")
 
 
 def normalize_text(c):
@@ -69,13 +115,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b).
 
     Returns integer intersection/union sizes so the result is
     float-free (oracle-hash stable); jaccard = n_inter/n_union.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap BEFORE the self-join: a corpus-wide common trigram
+    otherwise contributes df^2 candidate rows (quadratic blow-up at
+    100-TB corpora). The hot-shingle list is tiny by construction, so
+    it is removed with a broadcast anti-join; Jaccard is then computed
+    over the capped shingle space (sizes recomputed after the cap,
+    keeping n_inter/n_union consistent). ``None`` disables the cap.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -101,19 +164,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash via k seeded md5 minima (portable across engines).
+    """MinHash via ONE base hash + k affine minima (integer, O(1) in k).
 
-    minhash_k(doc) = min over shingles of md5(k || ':' || shingle).
-    md5 is uniform, so the min over hex strings behaves like a random
-    permutation minimum — the standard MinHash estimator.
+    minhash_k(doc) = min over shingles of (a_k*h(shingle)+b_k) mod
+    (2^31-1) — the classic universal-hash-family construction; one
+    hash call and k fused multiply-adds per shingle instead of k
+    digest computations, and integer (not hex-string) min aggregates.
+    ``base_hash='md5'`` gives the DuckDB-portable variant.
     """
     sh = word_shingles(df, text_col, id_col, shingle_n)
+    h = sh.select("id", base_hash_expr(F.col("shingle"), base_hash).alias("h0"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(n_hashes)
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(affine_params(n_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return h.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -123,16 +190,22 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """LSH candidate pairs: equal band-digest in any band (id_a < id_b)."""
+    """LSH candidate pairs: equal band signature in any band (id_a < id_b).
+
+    The band key is the concatenated minhash values themselves (no
+    digest step): exact, engine-portable, and still a plain equi-join
+    key, so candidate generation stays a hash join at any scale.
+    """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, base_hash)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("bh"))
         )
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
@@ -176,3 +249,33 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Engine-portable 64-bit SimHash as a '0'/'1' string (MSB first).
+
+    Word bits come from md5: hi = first 8 hex digits, lo = next 8 —
+    two 32-bit halves DuckDB reproduces exactly via
+    ``CAST('0x'||substr(md5(w),1,8) AS BIGINT)``, so the whole
+    signature (votes, ties-to-0 sign rule, bit order) has an exact
+    SQL oracle. Same vote semantics as :func:`simhash64` (every word
+    occurrence votes, frequency-weighted).
+    """
+    words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    wdf = df.select(F.col(id_col).alias("id"), words).filter(F.length("w") > 0)
+    wdf = wdf.select(
+        "id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = []
+    for i in range(64):
+        src, sh = ("lo", i) if i < 32 else ("hi", i - 32)
+        bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    agg = wdf.groupBy("id").agg(*votes)
+    chars = [
+        F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(63, -1, -1)
+    ]
+    return agg.select("id", F.concat(*chars).alias("simhash_bits"))

@@ -411,19 +411,28 @@ ORDER BY id_a, id_b
 def q12_minhash_lsh(spark, sf):
     corpus = _duplicated_docs(spark, sf, near=True)
     return dedup.minhash_lsh_candidates(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3
+        corpus, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3,
+        base_hash="md5",  # oracle-portable base; prod default is xxhash64
     ).orderBy("id_a", "id_b")
 
 
 def _sql_minhash(n_hashes: int, bands: int) -> str:
+    """DuckDB twin of minhash_lsh_candidates(base_hash='md5'):
+    one 28-bit md5-derived base hash per shingle, k affine minima
+    mod 2^31-1 with the SAME (a_k, b_k) constants (dedup.affine_params),
+    band key = concatenated minhash values."""
     rows = n_hashes // bands
+    m = dedup.MERSENNE31
     mh_cols = ",\n    ".join(
-        f"MIN(md5('{k}:' || shingle)) AS mh{k}" for k in range(n_hashes)
+        f"MIN(({a} * h0 + {b}) % {m}) AS mh{k}"
+        for k, (a, b) in enumerate(dedup.affine_params(n_hashes))
     )
     band_rows = []
     for b in range(bands):
-        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        band_rows.append(f"SELECT id, {b} AS band, md5({parts}) AS bh FROM sig")
+        parts = " || '|' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_rows.append(f"SELECT id, {b} AS band, {parts} AS bh FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
     return f"""
 WITH corpus AS ({_SQL_DUP_DOCS_NEAR}),
@@ -437,7 +446,10 @@ grams AS (
   FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
   WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
 ),
-sig AS (SELECT id, {mh_cols} FROM grams GROUP BY id),
+hashed AS (
+  SELECT id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h0 FROM grams
+),
+sig AS (SELECT id, {mh_cols} FROM hashed GROUP BY id),
 buckets AS ({bands_sql})
 SELECT DISTINCT x.id AS id_a, y.id AS id_b
 FROM buckets x JOIN buckets y
@@ -650,7 +662,41 @@ def q20_tokens_roundtrip(spark, sf):
 
 
 def q21_simhash(spark, sf):
-    return dedup.simhash64(_t(spark, sf, "documents")).orderBy("id")
+    """Portable SimHash: md5-derived word bits -> exact DuckDB oracle
+    (the xxhash64-based simhash64 stays the prod-default variant)."""
+    return dedup.simhash_bits(_t(spark, sf, "documents")).orderBy("id")
+
+
+def _sql_simhash() -> str:
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}".format(
+            src="lo" if i < 32 else "hi", sh=i if i < 32 else i - 32, i=i
+        )
+        for i in range(64)
+    )
+    chars = " || ".join(
+        f"(CASE WHEN b{i} > 0 THEN '1' ELSE '0' END)" for i in range(63, -1, -1)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (
+  SELECT id, w FROM docs, UNNEST(string_split(t, ' ')) AS u(w) WHERE length(w) > 0
+),
+h AS (
+  SELECT id,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS lo
+  FROM words
+),
+v AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, {chars} AS simhash_bits FROM v ORDER BY id
+"""
+
+
+SQL_Q21 = _sql_simhash()
 
 
 def q22_ann_lsh(spark, sf):
@@ -1029,9 +1075,8 @@ QUERIES = {
     "q28_dup_components": (q28_dup_components, SQL_Q28),
     "q29_training_pipeline": (q29_training_pipeline, SQL_Q29),
     "q30_pivot": (q30_pivot, SQL_Q30),
-    # engine / non-SQL-expressible: rows-only driver check
     "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
-    "q21_simhash": (q21_simhash, None),
+    "q21_simhash": (q21_simhash, SQL_Q21),
     "q22_ann_lsh": (q22_ann_lsh, None),
     "q23_multimodal_features": (q23_multimodal_features, None),
 }

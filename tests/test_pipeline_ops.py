@@ -57,6 +57,34 @@ class TestDedup:
         assert ham(sh[1], sh[2]) == 0
         assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
 
+    def test_simhash_bits_portable(self, docs):
+        sh = {r.id: r.simhash_bits for r in dedup.simhash_bits(docs).collect()}
+        assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in sh.values())
+        assert sh[1] == sh[2]  # identical docs -> identical signature
+        def ham(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+    def test_minhash_md5_mode_matches_xxhash_behavior(self, docs):
+        for mode in ("md5", "xxhash64"):
+            cands = {
+                (r.id_a, r.id_b)
+                for r in dedup.minhash_lsh_candidates(
+                    docs, n_hashes=8, bands=4, base_hash=mode
+                ).collect()
+            }
+            assert (1, 2) in cands and (1, 4) not in cands, mode
+
+    def test_jaccard_hot_shingle_cap(self, spark):
+        # every doc shares ONE corpus-wide trigram; the df cap removes it
+        # from the self-join so candidate volume stays bounded
+        rows = [(i, f"common hot shingle unique{i} tail{i} end{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=None)
+        assert uncapped.count() == 30 * 29 // 2  # quadratic in the hot df
+        capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=5)
+        assert capped.count() == 0
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
