@@ -101,16 +101,68 @@ def rp_lsh_buckets(
     The hyperplane matrix is derived deterministically from the seed,
     so executors regenerate it identically — nothing to broadcast.
     """
-    planes = _hyperplanes(n_planes, dim, seed)
+    # float64 dot products: the bucket bit is a sign test, and the
+    # DuckDB oracle computes the same dot in double — keeping both
+    # sides in f64 makes the sign decision identical except for
+    # exactly-zero dots (measure-zero on real data).
+    planes = _hyperplanes(n_planes, dim, seed).astype(np.float64)
 
     @F.pandas_udf("long")
     def bucket(v: pd.Series) -> pd.Series:
-        mat = np.vstack(v.to_numpy())  # (batch, dim) float32
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
         signs = (mat @ planes.T) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int64))
 
     return df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket"))
+
+
+def probe_buckets(query_bucket: int, n_planes: int, radius: int = 1) -> list[int]:
+    """Multiprobe bucket set: the query's bucket plus every bucket
+    within Hamming distance ``radius`` in sign-bit space (bit flips =
+    vectors near a hyperplane falling on the other side)."""
+    from itertools import combinations
+
+    out = [query_bucket]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for j in bits:
+                mask |= 1 << j
+            out.append(query_bucket ^ mask)
+    return out
+
+
+def directed_probes(
+    query_vec: np.ndarray,
+    planes: np.ndarray,
+    query_bucket: int,
+    n_probes: int,
+    max_flip_bits: int = 4,
+) -> list[int]:
+    """Query-directed multiprobe (Lv et al., VLDB 2007 idea): probe the
+    buckets reached by flipping the sign bits with the SMALLEST
+    hyperplane margin first — a near neighbor most likely differs on
+    exactly the planes the query itself barely clears.
+
+    Enumerates flip subsets of the lowest-margin planes, scores each
+    by its summed margin, returns the ``n_probes`` best buckets
+    (driver-side, O(n_probes log) work on a few dozen floats — nothing
+    distributed)."""
+    import heapq
+    from itertools import combinations
+
+    margins = np.abs(planes @ query_vec) / np.linalg.norm(planes, axis=1)
+    order = np.argsort(margins)[: min(len(margins), 16)]
+    scored: list[tuple[float, int]] = [(0.0, 0)]
+    for r in range(1, max_flip_bits + 1):
+        for bits in combinations(order.tolist(), r):
+            mask = 0
+            for j in bits:
+                mask |= 1 << int(j)
+            scored.append((float(sum(margins[list(bits)])), mask))
+    best = heapq.nsmallest(n_probes, scored)
+    return [query_bucket ^ mask for _, mask in best]
 
 
 def ann_search(
@@ -121,16 +173,33 @@ def ann_search(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_radius: int = 1,
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """ANN: candidates from the query's LSH bucket, exact re-rank.
+    """ANN: candidates from the query's LSH bucket (multiprobed), exact
+    re-rank.
 
-    Recall is tunable via n_planes (fewer planes -> bigger buckets).
-    Falls back to an empty result if the bucket is empty — callers can
-    multiprobe by flipping plane bits.
+    Recall is tunable via n_planes (fewer planes -> bigger buckets)
+    and the probe strategy — without multiprobe recall collapses as
+    n_planes grows, because near neighbors that sit close to any one
+    hyperplane land one bit away:
+
+    * ``probe_radius`` — ALL buckets within Hamming r (exactly
+      replicable in the SQL oracle via fixed XOR masks);
+    * ``n_probes`` (overrides) — query-directed probing: the
+      ``n_probes`` buckets whose flipped planes have the smallest
+      query margins; far better recall per probe at large n_planes.
+
+    Either way the candidate filter is ``bucket IN (probe set)`` — a
+    single predicate-pushdown scan, no extra shuffle.
     """
-    q = np.asarray(query_vec, dtype=np.float32)
-    planes = _hyperplanes(n_planes, len(query_vec), seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(n_planes, len(query_vec), seed).astype(np.float64)
     qb = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+    if n_probes is not None:
+        probes = directed_probes(q, planes, qb, n_probes)
+    else:
+        probes = probe_buckets(qb, n_planes, probe_radius)
     bucketed = rp_lsh_buckets(df, len(query_vec), n_planes, seed, vec_col, id_col)
-    cand = bucketed.filter(F.col("bucket") == qb).drop("bucket")
+    cand = bucketed.filter(F.col("bucket").isin(probes)).drop("bucket")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)

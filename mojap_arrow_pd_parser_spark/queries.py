@@ -633,18 +633,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
+# Deterministic cross-engine artifacts: q20/q23 persist their inputs
+# and outputs as parquet at FIXED paths so the DuckDB oracle can
+# independently re-derive the expected result from the same bytes.
+# Contents are seed-deterministic, so rewrites are idempotent.
+ARTIFACT_DIR = "/tmp/mojap_spark_artifacts"
+
+
 def q20_tokens_roundtrip(spark, sf):
-    """Flagship: encode->decode->verify the synthetic tokens table."""
-    import tempfile
+    """Flagship: encode->decode the synthetic tokens table; the DuckDB
+    oracle re-reads the persisted source AND decoded parquet and
+    verifies token-array equality itself (the reference round-trip
+    invariant, /root/reference/tests/test_round_trip.py:40-74, checked
+    by a second engine)."""
+    import shutil
 
     from .datagen import tokens_table
     from .operators.decode import decode_table
     from .operators.encode import encode_table
 
-    out = tempfile.mkdtemp(prefix="q20_enc_")
-    src = tokens_table(spark, 2000, seed=123, avg_len=64)
-    encode_table(spark, src, out, key="doc_id", n_chunks=8)
-    dec = decode_table(spark, out)
+    src_dir = f"{ARTIFACT_DIR}/q20_src"
+    enc_dir = f"{ARTIFACT_DIR}/q20_enc"
+    dec_dir = f"{ARTIFACT_DIR}/q20_dec"
+    tokens_table(spark, 2000, seed=123, avg_len=64).write.mode("overwrite").parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(spark, src, enc_dir, key="doc_id", n_chunks=8)
+    decode_table(spark, enc_dir).write.mode("overwrite").parquet(dec_dir)
+    dec = spark.read.parquet(dec_dir)
     j = src.alias("o").join(dec.alias("d"), "doc_id")
     return (
         j.select(
@@ -659,6 +675,15 @@ def q20_tokens_roundtrip(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("ok")
     )
+
+
+SQL_Q20 = f"""
+SELECT (o.tokens = d.tokens AND o.n_tok = d.n_tok AND o.source = d.source) AS ok,
+       COUNT(*) AS n_rows
+FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet') o
+JOIN read_parquet('{ARTIFACT_DIR}/q20_dec/*.parquet') d USING (doc_id)
+GROUP BY 1 ORDER BY ok
+"""
 
 
 def q21_simhash(spark, sf):
@@ -700,15 +725,64 @@ SQL_Q21 = _sql_simhash()
 
 
 def q22_ann_lsh(spark, sf):
+    """RP-LSH ANN with Hamming-1 multiprobe; the DuckDB oracle gets the
+    deterministic hyperplane matrix as literals and replicates bucket
+    assignment + probe set + exact re-rank."""
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    return similarity.ann_search(emb, _query_vec(spark, sf), k=10, n_planes=4)
+    return similarity.ann_search(
+        emb, _query_vec(spark, sf), k=10, n_planes=4, probe_radius=1
+    )
+
+
+def _sql_ann(n_planes: int = 4, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    planes = similarity._hyperplanes(n_planes, dim, seed).astype("float64")
+    plane_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(float(x)) for x in planes[j]))
+        for j in range(n_planes)
+    )
+    masks = ", ".join(f"({m})" for m in [0] + [1 << j for j in range(n_planes)])
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+planes(j, p) AS (VALUES {plane_rows}),
+qb AS (
+  SELECT CAST(SUM(CASE WHEN list_dot_product(qv, p) > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS b
+  FROM q, planes
+),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p) > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.embedding
+),
+probes AS (SELECT xor(qb.b, m.m) AS pb FROM qb, (VALUES {masks}) AS m(m)),
+cand AS (SELECT vec_id, embedding FROM bucketed WHERE bucket IN (SELECT pb FROM probes))
+SELECT vec_id,
+       round(list_dot_product(embedding, qv)
+             / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))), 5) AS cosine
+FROM cand, q ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_Q22 = _sql_ann()
 
 
 def q23_multimodal_features(spark, sf):
+    """Multimodal plumbing, oracled for its REAL part: the persisted
+    media table's payload bytes are measured by the mapInPandas UDF on
+    the Spark side and by octet_length in DuckDB (the feature decode
+    stays a documented stub)."""
     from .operators.multimodal import extract_features, synthetic_media_table
 
-    media = synthetic_media_table(spark, n_rows=48)
+    media_dir = f"{ARTIFACT_DIR}/q23_media"
+    synthetic_media_table(spark, n_rows=48).write.mode("overwrite").parquet(media_dir)
+    media = spark.read.parquet(media_dir)
     return extract_features(media).select("media_id", "n_bytes").orderBy("media_id")
+
+
+SQL_Q23 = f"""
+SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes
+FROM read_parquet('{ARTIFACT_DIR}/q23_media/*.parquet')
+ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1075,8 +1149,8 @@ QUERIES = {
     "q28_dup_components": (q28_dup_components, SQL_Q28),
     "q29_training_pipeline": (q29_training_pipeline, SQL_Q29),
     "q30_pivot": (q30_pivot, SQL_Q30),
-    "q20_tokens_roundtrip": (q20_tokens_roundtrip, None),
+    "q20_tokens_roundtrip": (q20_tokens_roundtrip, SQL_Q20),
     "q21_simhash": (q21_simhash, SQL_Q21),
-    "q22_ann_lsh": (q22_ann_lsh, None),
-    "q23_multimodal_features": (q23_multimodal_features, None),
+    "q22_ann_lsh": (q22_ann_lsh, SQL_Q22),
+    "q23_multimodal_features": (q23_multimodal_features, SQL_Q23),
 }

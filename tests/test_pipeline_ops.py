@@ -102,6 +102,35 @@ class TestSimilarity:
         expect = set(pdf.vec_id.to_numpy()[np.argsort(-cos)][:5].tolist())
         assert got == expect
 
+    def test_multiprobe_recall_at_16_planes(self, spark):
+        # planted near-dup clusters (LSH's actual workload): recall>=0.9
+        # at n_planes=16 needs multiprobe — single-bucket recall dies
+        rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+        rows, vid = [], 1
+        bases = rng.standard_normal((50, 32))
+        for b in bases:
+            for _ in range(5):
+                v = b + 0.05 * rng.standard_normal(32)
+                rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = bases[0] + 0.05 * rng.standard_normal(32)
+        q = (q / np.linalg.norm(q)).tolist()
+        exact = {r.vec_id for r in similarity.cosine_topk(df, q, k=5).collect()}
+        ann = {
+            r.vec_id
+            for r in similarity.ann_search(df, q, k=5, n_planes=16, n_probes=32).collect()
+        }
+        assert len(ann & exact) / len(exact) >= 0.9
+
+    def test_directed_probes_deterministic(self):
+        planes = similarity._hyperplanes(8, 16, 7).astype(np.float64)
+        q = np.arange(16, dtype=np.float64) / 16.0
+        qb = int(((planes @ q) > 0).astype(np.int64) @ (1 << np.arange(8)))
+        p1 = similarity.directed_probes(q, planes, qb, 10)
+        p2 = similarity.directed_probes(q, planes, qb, 10)
+        assert p1 == p2 and p1[0] == qb and len(set(p1)) == 10
+
     def test_ann_recall(self, emb):
         q = [0.5] * 16
         exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
