@@ -91,16 +91,17 @@ def prepare_source(spark, sf: float, n_docs: int | None = None) -> str:
     return src
 
 
-def run_encode(spark, src: str, out: str, n_chunks: int, repeats: int = 3) -> dict:
-    """Encode stage measurement: one warm-up pass, then min-of-N walls.
+def run_encode(
+    spark, src: str, out: str, n_chunks: int, repeats: int = 3, warmup: int = 1
+) -> dict:
+    """Encode stage measurement: ``warmup`` unmeasured passes, then
+    min-of-``repeats`` walls.
 
     The sandbox VM shows strong per-burst CPU cold-start (~25x on first
     touch); the SURVEY plan (§7c) calls for cache-warm, encode-stage-only
     wall-clock. The plan is computed once and reused, mirroring a
     production run where planning is amortized over the whole table.
     """
-    import glob as _glob
-
     from pyspark.sql import functions as F
 
     from mojap_arrow_pd_parser_spark.operators.encode import encode_table
@@ -114,15 +115,17 @@ def run_encode(spark, src: str, out: str, n_chunks: int, repeats: int = 3) -> di
     from mojap_arrow_pd_parser_spark.operators.encode import scan_done_chunks
 
     walls = []
-    for i in range(repeats + 1):  # first pass is the warm-up
+    for i in range(repeats + warmup):  # first `warmup` passes unmeasured
         clear_outputs()
         t0 = time.monotonic()
         encode_table(
             spark, df, out, key="doc_id", n_chunks=n_chunks,
             resume=False, consolidate=False,
         )
-        if i > 0:
+        if i >= warmup:
             walls.append(time.monotonic() - t0)
+    if not walls:  # warm-up-only call
+        return {"walls": []}
     done = scan_done_chunks(out).values()
     agg = {
         "rows": sum(m["n_rows"] for m in done),
@@ -142,8 +145,9 @@ def run_encode(spark, src: str, out: str, n_chunks: int, repeats: int = 3) -> di
     }
 
 
-def child_encode(cores: int, repeats: int = 1) -> dict:
+def child_encode(cores: int, repeats: int = 2) -> dict:
     """Run the encode stage alone at a given parallelism (fresh JVM)."""
+    time.sleep(SCALING_PAUSE_SEC)  # refill hypervisor burst credits
     out = subprocess.run(
         [
             sys.executable, os.path.abspath(__file__),
@@ -160,27 +164,65 @@ def child_encode(cores: int, repeats: int = 1) -> dict:
     raise RuntimeError(f"child encode at {cores} cores failed: {out.stderr[-2000:]}")
 
 
-def measure_scaling(pairs: int = 3) -> tuple[dict, dict, float]:
-    """Alternate lo/hi children so slow host phases hit both sides;
-    min per side over the pairs."""
+def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
+    """N->4N scaling evidence, protocol hardened against the host's
+    burst-credit throttling (BENCH/BASELINE.md):
+
+    * fresh-credit idle pause before every child;
+    * alternating start side per pair (lo-first, then hi-first) so a
+      slow host phase cannot systematically penalize one side;
+    * each child warms up on a small job, then measures ``repeats``
+      passes of the 4x job -> min AND median of all recorded walls.
+
+    Efficiency (headline) = min_lo / (4 * min_hi): the fastest observed
+    run per side is the closest to unthrottled hardware; median +
+    spread are reported alongside so the artifact shows the variance.
+    """
     lo_runs, hi_runs = [], []
-    for _ in range(pairs):
-        lo_runs.append(child_encode(2, repeats=1))
-        hi_runs.append(child_encode(8, repeats=1))
-    lo = min(lo_runs, key=lambda r: r["wall_sec"])
-    hi = min(hi_runs, key=lambda r: r["wall_sec"])
-    return lo, hi, round(lo["wall_sec"] / (4 * hi["wall_sec"]), 3)
+    for i in range(pairs):
+        order = [(2, lo_runs), (8, hi_runs)]
+        if i % 2 == 1:
+            order.reverse()
+        for cores, sink in order:
+            sink.append(child_encode(cores, repeats=repeats))
+    lo_walls = sorted(w for r in lo_runs for w in r["walls"])
+    hi_walls = sorted(w for r in hi_runs for w in r["walls"])
+
+    def med(xs):
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    tokens = lo_runs[0]["tokens"]
+    return {
+        "cores_lo": 2,
+        "cores_hi": 8,
+        "wall_lo_sec": round(lo_walls[0], 3),
+        "wall_hi_sec": round(hi_walls[0], 3),
+        "walls_lo": [round(w, 3) for w in lo_walls],
+        "walls_hi": [round(w, 3) for w in hi_walls],
+        "wall_lo_median_sec": round(med(lo_walls), 3),
+        "wall_hi_median_sec": round(med(hi_walls), 3),
+        "tokens": tokens,
+        "tokens_per_sec_lo": round(tokens / lo_walls[0]),
+        "tokens_per_sec_hi": round(tokens / hi_walls[0]),
+        "efficiency_n_to_4n": round(lo_walls[0] / (4 * hi_walls[0]), 3),
+        "efficiency_median": round(med(lo_walls) / (4 * med(hi_walls)), 3),
+    }
 
 
-def main_encode_only(cores: int, repeats: int = 3) -> None:
+def main_encode_only(cores: int, repeats: int = 2) -> None:
     from mojap_arrow_pd_parser_spark.session import get_spark
 
     sf = sf_of(SF_DIR)
     spark = get_spark(f"bench_encode_{cores}", cores=cores, shuffle_partitions=max(cores, 16))
+    small = prepare_source(spark, sf, n_docs=bench_docs(sf))
     src = prepare_source(spark, sf, n_docs=bench_docs(sf) * SCALING_MULT)
+    # cheap warm-up on the 1x source (JVM, codegen, python workers),
+    # then measured passes on the 4x source with no further warm-up
+    run_encode(spark, small, f"/tmp/bench_warm_{cores}", n_chunks=16, repeats=0, warmup=1)
     out = f"/tmp/bench_enc_{cores}"
     shutil.rmtree(out, ignore_errors=True)
-    r = run_encode(spark, src, out, n_chunks=64, repeats=repeats)
+    r = run_encode(spark, src, out, n_chunks=64, repeats=repeats, warmup=0)
     print(json.dumps(r))
     spark.stop()
 
@@ -208,7 +250,7 @@ def main() -> None:
     # --- scaling evidence FIRST (the host throttles CPU bursts under
     # sustained load; fresh burst credits + alternating lo/hi children
     # keep the two sides comparable despite host phases) ----------------
-    lo, hi, efficiency = measure_scaling(pairs=2)
+    scaling = measure_scaling(pairs=2, repeats=2)
 
     # --- encode + verify at full parallelism ------------------------------
     out = f"/tmp/bench_enc_{CPUS}"
@@ -259,15 +301,7 @@ def main() -> None:
         "encode_file_aligned_tokens_per_sec": round(enc["tokens"] / fa_wall),
         "compression_ratio_vs_parquet_snappy": ratio,
         "roundtrip_mismatches": vr["mismatches"],
-        "scaling": {
-            "cores_lo": 2,
-            "cores_hi": 8,
-            "wall_lo_sec": lo["wall_sec"],
-            "wall_hi_sec": hi["wall_sec"],
-            "tokens_per_sec_lo": lo["tokens_per_sec"],
-            "tokens_per_sec_hi": hi["tokens_per_sec"],
-            "efficiency_n_to_4n": efficiency,
-        },
+        "scaling": scaling,
         "bench_total_sec": total,
     }
     print(json.dumps(result))

@@ -18,7 +18,6 @@ equality is native in Spark — no UDF).
 from __future__ import annotations
 
 import json
-import os
 import zlib
 
 import pyarrow as pa
@@ -27,10 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..sources import fsio
+
 
 def load_plan(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "plan.json")) as f:
-        return json.load(f)
+    return fsio.read_json(fsio.join(out_dir, "plan.json"))
 
 
 def decode_table(
@@ -44,7 +44,7 @@ def decode_table(
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
-    enc = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    enc = spark.read.parquet(fsio.join(out_dir, "chunks"))
     enc = enc.filter(F.col("column").isin(names)).select(
         "chunk_id", "column", "meta", "payload", "crc32"
     )
@@ -150,10 +150,9 @@ def verify_roundtrip(
 
 def encoded_size_report(out_dir: str) -> dict:
     """Total on-disk encoded bytes (chunk files) for the <=parquet bound."""
-    chunks_dir = os.path.join(out_dir, "chunks")
     total = sum(
-        os.path.getsize(os.path.join(chunks_dir, f))
-        for f in os.listdir(chunks_dir)
-        if f.endswith(".parquet")
+        size
+        for name, size in fsio.list_files(fsio.join(out_dir, "chunks"))
+        if name.endswith(".parquet")
     )
     return {"encoded_bytes": total}

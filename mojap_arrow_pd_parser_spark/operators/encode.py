@@ -13,14 +13,16 @@ per-row Python):
          manifest row                                          (N12)
       -> manifest DataFrame (tiny) consolidated at out_dir/manifest.parquet
 
-The chunk file commit is write-tmp+rename (atomic on POSIX); the
-sidecar is written only after the chunk file is durable, so a killed
-run can never leave a sidecar pointing at a missing/partial chunk —
-rerun re-encodes exactly the unfinished buckets. This mirrors the
-reference's post-write schema readback guard
-(/root/reference/arrow_pd_parser/_writers.py:330-358) hardened into a
-commit protocol, and is the same file-then-metadata ordering Iceberg
-uses for snapshot commits.
+The chunk file commit is write-tmp+rename on local filesystems and a
+single atomic put on object stores (see sources/fsio.py — all file
+ops route through pyarrow.fs, so the same protocol runs against
+file://, s3:// or hdfs:// paths); the sidecar is written only after
+the chunk file is durable, so a killed run can never leave a sidecar
+pointing at a missing/partial chunk — rerun re-encodes exactly the
+unfinished buckets. This mirrors the reference's post-write schema
+readback guard (/root/reference/arrow_pd_parser/_writers.py:330-358)
+hardened into a commit protocol, and is the same file-then-metadata
+ordering Iceberg uses for snapshot commits.
 
 At cluster scale: one narrow map (bucket assignment), one hash shuffle
 on the bucket id, then embarrassingly-parallel encode tasks whose
@@ -30,20 +32,18 @@ output files never pass through the driver. No collect() anywhere.
 from __future__ import annotations
 
 import json
-import os
 import time
-import uuid
 import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codecs import encode_array
 from ..plans.chunking import assign_buckets, load_or_make_plan
+from ..sources import fsio
 
 ENGINE_VERSION = 1
 
@@ -157,18 +157,13 @@ def _manifest_batch(m: dict) -> pa.Table:
 
 def scan_done_chunks(out_dir: str) -> dict[int, dict]:
     """Read manifest sidecars; keep only entries whose chunk file verifies."""
-    mdir = os.path.join(out_dir, "manifest")
     done: dict[int, dict] = {}
-    if not os.path.isdir(mdir):
-        return done
-    for fn in os.listdir(mdir):
+    for fn, _size in fsio.list_files(fsio.join(out_dir, "manifest")):
         if not fn.endswith(".json"):
             continue
         try:
-            with open(os.path.join(mdir, fn)) as f:
-                m = json.load(f)
-            fpath = os.path.join(out_dir, "chunks", m["file"])
-            if os.path.isfile(fpath) and os.path.getsize(fpath) == m["file_bytes"]:
+            m = fsio.read_json(fsio.join(out_dir, "manifest", fn))
+            if fsio.file_size(fsio.join(out_dir, "chunks", m["file"])) == m["file_bytes"]:
                 done[int(m["chunk_id"])] = m
         except (json.JSONDecodeError, KeyError, OSError):
             continue  # partial sidecar from a killed run -> re-encode
@@ -196,17 +191,14 @@ def encode_table(
     partition values (e.g. a 70%% ``source``) are split across salts
     proportional to their size (N10) instead of range buckets on the key.
     """
-    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    fsio.makedirs(fsio.join(out_dir, "chunks"))
+    fsio.makedirs(fsio.join(out_dir, "manifest"))
     plan = load_or_make_plan(
         spark, df, out_dir, key, n_chunks, seed=seed, partition_col=partition_col
     )
     if "schema_json" not in plan:
         plan["schema_json"] = df.schema.json()
-        tmp = os.path.join(out_dir, "plan.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(plan, f)
-        os.replace(tmp, os.path.join(out_dir, "plan.json"))
+        fsio.write_json_atomic(fsio.join(out_dir, "plan.json"), plan)
 
     bdf = assign_buckets(df, plan)
     if resume:
@@ -214,8 +206,8 @@ def encode_table(
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
-    chunks_dir = os.path.join(out_dir, "chunks")
-    manifest_dir = os.path.join(out_dir, "manifest")
+    chunks_dir = fsio.join(out_dir, "chunks")
+    manifest_dir = fsio.join(out_dir, "manifest")
 
     def encode_partition(batches):
         """mapInArrow task body: regroup the partition's batches by
@@ -235,17 +227,14 @@ def encode_table(
             part = part.drop_columns(["_bucket"])
             enc, manifest = encode_chunk_table(part, int(chunk_id), key)
             fname = f"chunk-{int(chunk_id):05d}.parquet"
-            tmp = os.path.join(chunks_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
-            pq.write_table(enc, tmp, compression="none")
-            os.replace(tmp, os.path.join(chunks_dir, fname))
+            # file-then-metadata: chunk durable BEFORE its sidecar exists
             manifest["file"] = fname
-            manifest["file_bytes"] = os.path.getsize(
-                os.path.join(chunks_dir, fname)
+            manifest["file_bytes"] = fsio.write_parquet_atomic(
+                enc, fsio.join(chunks_dir, fname)
             )
-            mtmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(mtmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(mtmp, os.path.join(manifest_dir, f"{int(chunk_id):05d}.json"))
+            fsio.write_json_atomic(
+                fsio.join(manifest_dir, f"{int(chunk_id):05d}.json"), manifest
+            )
             manifest.pop("file_bytes")
             yield _manifest_batch(manifest).to_batches()[0]
 
@@ -272,9 +261,9 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
         return mdf.limit(0)
     if consolidate:
         cons.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "manifest.parquet")
+            fsio.join(out_dir, "manifest.parquet")
         )
-        return spark.read.parquet(os.path.join(out_dir, "manifest.parquet"))
+        return spark.read.parquet(fsio.join(out_dir, "manifest.parquet"))
     return cons
 
 
@@ -298,19 +287,16 @@ def encode_files(
     to the shuffled path. Trade-off: chunk size = source file size, and
     no global key-range clustering beyond what the input already has.
     """
-    import glob as _glob
-
-    os.makedirs(os.path.join(out_dir, "chunks"), exist_ok=True)
-    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
-    plan_path = os.path.join(out_dir, "plan.json")
-    if os.path.exists(plan_path):
-        with open(plan_path) as f:
-            plan = json.load(f)
+    fsio.makedirs(fsio.join(out_dir, "chunks"))
+    fsio.makedirs(fsio.join(out_dir, "manifest"))
+    plan_path = fsio.join(out_dir, "plan.json")
+    if fsio.exists(plan_path):
+        plan = fsio.read_json(plan_path)
     else:
         files = sorted(
-            f
-            for f in _glob.glob(os.path.join(input_dir, "*.parquet"))
-            if not os.path.basename(f).startswith(("_", "."))
+            fsio.join(input_dir, name)
+            for name, _sz in fsio.list_files(input_dir)
+            if name.endswith(".parquet") and not name.startswith(("_", "."))
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {input_dir}")
@@ -323,18 +309,15 @@ def encode_files(
             "n_chunks": len(files),
             "schema_json": schema_json,
         }
-        tmp = plan_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(plan, f)
-        os.replace(tmp, plan_path)
+        fsio.write_json_atomic(plan_path, plan)
 
     todo = list(enumerate(plan["files"]))
     if resume:
         done = scan_done_chunks(out_dir)
         todo = [(i, f) for i, f in todo if i not in done]
 
-    chunks_dir = os.path.join(out_dir, "chunks")
-    manifest_dir = os.path.join(out_dir, "manifest")
+    chunks_dir = fsio.join(out_dir, "chunks")
+    manifest_dir = fsio.join(out_dir, "manifest")
 
     def encode_file(batches):
         import pyarrow.parquet as _pq
@@ -342,20 +325,17 @@ def encode_files(
         for b in batches:
             for row in b.to_pylist():
                 chunk_id, path = int(row["chunk_id"]), row["path"]
-                table = _pq.read_table(path)
+                src_fs, src_path = fsio.resolve(path)
+                table = _pq.read_table(src_path, filesystem=src_fs)
                 enc, manifest = encode_chunk_table(table, chunk_id, key)
                 fname = f"chunk-{chunk_id:05d}.parquet"
-                tmp = os.path.join(chunks_dir, f".tmp-{uuid.uuid4().hex}-{fname}")
-                pq.write_table(enc, tmp, compression="none")
-                os.replace(tmp, os.path.join(chunks_dir, fname))
                 manifest["file"] = fname
-                manifest["file_bytes"] = os.path.getsize(
-                    os.path.join(chunks_dir, fname)
+                manifest["file_bytes"] = fsio.write_parquet_atomic(
+                    enc, fsio.join(chunks_dir, fname)
                 )
-                mtmp = os.path.join(manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-                with open(mtmp, "w") as f:
-                    json.dump(manifest, f)
-                os.replace(mtmp, os.path.join(manifest_dir, f"{chunk_id:05d}.json"))
+                fsio.write_json_atomic(
+                    fsio.join(manifest_dir, f"{chunk_id:05d}.json"), manifest
+                )
                 manifest.pop("file_bytes")
                 yield _manifest_batch(manifest).to_batches()[0]
 

@@ -7,23 +7,56 @@ sample the key, cut quantile boundaries — but persist the boundaries in
 making chunk ids stable across restarts and parallelism levels
 (SURVEY.md §2.6 N11 + N13).
 
-Bucket assignment is a pure JVM fold over the literal boundary array
-(whole-stage codegen; no Python in the path). At 1000-executor scale
-this is one narrow map stage; the only shuffle is the subsequent
-hash-repartition on the bucket id, which is exactly the shuffle a range
-partitioner would do.
+Bucket assignment is strategy-selected by boundary count:
+
+* small plans (<= _FOLD_MAX_BOUNDARIES cuts) use a pure JVM fold over
+  the literal boundary array (whole-stage codegen, zero Python);
+* large plans (a 100-TB table at ~256 MB chunks has ~400k cuts —
+  a literal array would embed megabytes in every task's plan and cost
+  O(cuts) comparisons per row) switch to one vectorized
+  ``np.searchsorted`` mapInArrow pass: O(log cuts) per row and the
+  boundary array rides the task-binary broadcast once per executor.
+
+Either way it is one narrow map stage; the only shuffle is the
+subsequent hash-repartition on the bucket id, which is exactly the
+shuffle a range partitioner would do.
+
+Boundaries are persisted JSON-safe: timestamps/dates as ISO strings,
+decimals as strings, with the key's Spark type recorded in the plan
+(``key_type``) so both assignment paths rebuild typed comparisons.
 """
 
 from __future__ import annotations
 
-import json
-import os
+import datetime
+import decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PLAN_FILE = "plan.json"
 _SAMPLE_TARGET = 100_000
+_FOLD_MAX_BOUNDARIES = 128
+
+
+def _json_safe_boundary(v):
+    """Plan boundaries must survive json.dump and reconstruct exactly:
+    datetime/date -> ISO string, Decimal -> string, primitives as-is."""
+    if isinstance(v, bool):
+        raise ValueError("boolean chunk keys are not range-partitionable")
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if hasattr(v, "isoformat"):  # pd.Timestamp
+        return v.isoformat(sep=" ")
+    raise ValueError(
+        f"chunk key value {v!r} ({type(v).__name__}) cannot be persisted "
+        "in plan.json; use an int/float/string/timestamp/date/decimal key"
+    )
 
 
 def make_plan(
@@ -50,10 +83,11 @@ def make_plan(
             for i in range(1, n_chunks)
         ]
         # dedupe while preserving order (low-cardinality keys)
-        boundaries = sorted(set(cuts))
+        boundaries = sorted({_json_safe_boundary(c) for c in cuts})
     return {
         "version": 1,
         "key": key,
+        "key_type": df.schema[key].dataType.simpleString(),
         "n_chunks": len(boundaries) + 1,
         "boundaries": boundaries,
         "n_rows": n_rows,
@@ -84,8 +118,10 @@ def make_partitioned_plan(
     }
     total = sum(counts.values()) or 1
     salts: dict = {}
+    # keys stringified: json.dump would coerce them on reload anyway,
+    # so persist and look up consistently as strings
     for val, cnt in sorted(counts.items(), key=lambda kv: str(kv[0])):
-        salts[val] = max(1, round(n_chunks * cnt / total))
+        salts[str(val)] = max(1, round(n_chunks * cnt / total))
     offsets: dict = {}
     base = 0
     for val in salts:
@@ -115,28 +151,28 @@ def load_or_make_plan(
     seed: int = 42,
     partition_col: str | None = None,
 ) -> dict:
-    path = os.path.join(out_dir, PLAN_FILE)
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+    from ..sources import fsio
+
+    path = fsio.join(out_dir, PLAN_FILE)
+    if fsio.exists(path):
+        return fsio.read_json(path)
     if partition_col:
         plan = make_partitioned_plan(df, key, partition_col, n_chunks, seed=seed)
     else:
         plan = make_plan(df, key, n_chunks, seed=seed)
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(plan, f)
-    os.replace(tmp, path)
+    fsio.makedirs(out_dir)
+    fsio.write_json_atomic(path, plan)
     return plan
 
 
 def assign_buckets(df: DataFrame, plan: dict, col_name: str = "_bucket") -> DataFrame:
     """Add the deterministic range-bucket id column.
 
-    bucket = |{ b in boundaries : key >= b }| — searchsorted(side=right)
-    as a pure JVM fold over a literal boundary array (codegen'd; ~4x
-    faster than a pandas UDF and keeps the stage whole-codegen).
+    bucket = |{ b in boundaries : key >= b }| — searchsorted(side=right).
+    Small plans: a pure JVM fold over a literal boundary array
+    (codegen'd; ~4x faster than a pandas UDF at small cut counts).
+    Large plans: vectorized np.searchsorted in one mapInArrow pass —
+    O(log cuts) per row, no multi-megabyte literal in the query plan.
     """
     if plan.get("mode") == "partition_salt":
         p = plan["partition_col"]
@@ -148,23 +184,60 @@ def assign_buckets(df: DataFrame, plan: dict, col_name: str = "_bucket") -> Data
             off_entries += [F.lit(val), F.lit(plan["offsets"][val])]
         salts_map = F.create_map(*salt_entries)
         offs_map = F.create_map(*off_entries)
-        bucket = offs_map[F.col(p)] + F.pmod(
-            F.xxhash64(F.col(key)), salts_map[F.col(p)]
-        )
+        pcol = F.col(p).cast("string")  # salt keys persist as strings
+        bucket = offs_map[pcol] + F.pmod(F.xxhash64(F.col(key)), salts_map[pcol])
         # partition values unseen at plan time land in the overflow bucket
         bucket = F.coalesce(bucket, F.lit(plan["overflow_bucket"]))
         return df.withColumn(col_name, bucket.cast("int"))
     boundaries = plan["boundaries"]
     key = plan["key"]
+    key_type = plan.get("key_type")
     if not boundaries:
         return df.withColumn(col_name, F.lit(0))
-    barr = F.array(*[F.lit(b) for b in boundaries])
+    if len(boundaries) > _FOLD_MAX_BOUNDARIES:
+        return _assign_buckets_searchsorted(df, key, boundaries, col_name)
+    if key_type and isinstance(boundaries[0], str) and key_type != "string":
+        # timestamp/date/decimal boundaries persisted as strings:
+        # rebuild typed literals for exact JVM comparison semantics
+        lits = [F.lit(b).cast(key_type) for b in boundaries]
+    else:
+        lits = [F.lit(b) for b in boundaries]
+    barr = F.array(*lits)
     bucket = F.aggregate(
         barr,
         F.lit(0),
         lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0),
     )
     return df.withColumn(col_name, bucket.cast("int"))
+
+
+def _assign_buckets_searchsorted(
+    df: DataFrame, key: str, boundaries: list, col_name: str
+) -> DataFrame:
+    """One vectorized Arrow pass: _bucket = searchsorted(boundaries,
+    key, side='right'). The boundary array is captured in the task
+    closure, which Spark ships via the (compressed, once-per-executor)
+    task-binary broadcast — nothing is embedded in the SQL plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(col_name, T.IntegerType())]
+    )
+
+    def assign(batches):
+        bnp = None
+        for batch in batches:
+            keys = batch.column(key)
+            if bnp is None:
+                # cast the JSON-persisted boundaries to the key's arrow
+                # type (handles ISO-string timestamps/dates, decimals)
+                bnp = pa.array(boundaries).cast(keys.type).to_numpy(zero_copy_only=False)
+            knp = keys.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(bnp, knp, side="right").astype("int32")
+            yield batch.append_column(col_name, pa.array(idx, pa.int32()))
+
+    return df.mapInArrow(assign, schema=out_schema)
 
 
 def salt_skewed(

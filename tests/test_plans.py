@@ -77,6 +77,69 @@ class TestJoinStrategies:
         assert "BatchEvalPython" not in plan
         assert plan.count("ArrowEvalPython") == 0
 
+    def test_bucket_assign_searchsorted_matches_fold_at_10k_boundaries(self, spark):
+        """Large plans switch to np.searchsorted: same buckets as the
+        JVM fold, no giant literal array in the query plan."""
+        import time
+
+        from mojap_arrow_pd_parser_spark.plans import chunking
+
+        n_b = 10_000
+        boundaries = list(range(0, n_b * 10, 10))  # 0,10,...,99990
+        df = spark.range(0, 20_000).select((F.col("id") * 7 % 100_000).alias("k"))
+        big_plan = {"key": "k", "key_type": "bigint", "boundaries": boundaries,
+                    "n_chunks": n_b + 1}
+        t0 = time.monotonic()
+        got = {
+            r.k: r._bucket
+            for r in chunking.assign_buckets(df, big_plan).collect()
+        }
+        wall = time.monotonic() - t0
+        # python-side oracle: searchsorted(side=right) semantics
+        import bisect
+
+        for k, b in list(got.items())[:2000]:
+            assert b == bisect.bisect_right(boundaries, k), (k, b)
+        # plan must not embed the 10k-literal array
+        plan = plan_of(chunking.assign_buckets(df, big_plan).select("_bucket"))
+        assert "99990" not in plan
+        assert wall < 30  # flat per-row cost (the fold would be ~O(rows*cuts))
+
+    def test_bucket_assign_small_plan_uses_fold_large_uses_arrow(self, spark):
+        from mojap_arrow_pd_parser_spark.plans import chunking
+
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        small = {"key": "k", "key_type": "bigint",
+                 "boundaries": [10, 50], "n_chunks": 3}
+        assert "ArrowEvalPython" not in plan_of(chunking.assign_buckets(df, small))
+        big = {"key": "k", "key_type": "bigint",
+               "boundaries": list(range(0, 2000, 2)), "n_chunks": 1001}
+        sm = {r.k: r._bucket for r in chunking.assign_buckets(df, small).collect()}
+        bg = {r.k: r._bucket for r in chunking.assign_buckets(df, big).collect()}
+        assert sm[0] == 0 and sm[10] == 1 and sm[60] == 2
+        assert bg[9] == 5 and bg[10] == 6  # side=right: 10 passes cuts 0..10
+
+    def test_timestamp_key_plan_json_roundtrip(self, spark, tmp_path):
+        """Timestamp sort keys: boundaries persist as ISO strings in
+        plan.json and reconstruct typed comparisons on load."""
+        import json as _json
+
+        from mojap_arrow_pd_parser_spark.plans.chunking import (
+            assign_buckets, load_or_make_plan,
+        )
+
+        df = spark.sql(
+            "SELECT timestampadd(HOUR, CAST(id AS INT), timestamp'2024-01-01') AS ts,"
+            " id FROM range(0, 500)"
+        )
+        plan = load_or_make_plan(spark, df, str(tmp_path), "ts", 8)
+        with open(tmp_path / "plan.json") as f:
+            reloaded = _json.load(f)  # must not raise, must equal
+        assert reloaded["boundaries"] == plan["boundaries"]
+        assert all(isinstance(b, str) for b in reloaded["boundaries"])
+        buckets = assign_buckets(df, reloaded).groupBy("_bucket").count().collect()
+        assert len(buckets) == reloaded["n_chunks"]
+
 
 class TestShuffleShape:
     def test_encode_has_single_shuffle(self, spark, tmp_path):
