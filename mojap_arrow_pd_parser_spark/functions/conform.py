@@ -162,12 +162,19 @@ def bool_expr(
     errors: str = "raise",
     src_type: T.DataType | None = None,
 ) -> Column:
-    """String/numeric -> nullable boolean via the truth table (C6/C7)."""
+    """String/numeric -> nullable boolean via the truth table (C6/C7).
+
+    Numeric sources are stringified and pushed through the SAME truth
+    table (matching the reference, which maps stringified numerics:
+    1/1.0 -> true, 0/0.0 -> false, anything else honors the
+    raise/coerce policy) — NOT Spark's cast('boolean'), which would
+    silently map any nonzero value to true."""
     if isinstance(src_type, T.BooleanType):
         return col
-    if isinstance(src_type, (T.IntegerType, T.LongType, T.DoubleType,
-                             T.FloatType, T.ShortType, T.ByteType, T.DecimalType)):
-        return col.cast("boolean")
+    if isinstance(src_type, T.DecimalType):
+        # decimal stringifies with its scale ("1.00"); go through
+        # double so 1 -> "1.0" hits the truth table like other floats
+        col = col.cast("double")
     mapping = {k.lower(): v for k, v in (bool_map or DEFAULT_BOOL_MAP).items()}
     norm = F.lower(F.trim(col.cast("string")))
     expr = F.when(col.isNull() | (norm == ""), F.lit(None).cast("boolean"))
@@ -271,6 +278,16 @@ def conform_column(
     if isinstance(target, (T.DateType, T.TimestampType)):
         if datetime_errors == "ignore":
             return col
+        if datetime_errors == "downgrade" and isinstance(target, T.DateType) and (
+            src_type is None or isinstance(src_type, T.StringType)
+        ):
+            # uncastable-downgrade policy: the reference replaces
+            # string->date32/date64 targets with string in the schema
+            # instead of risking a cast error
+            # (/root/reference/arrow_pd_parser/_arrow_parsers.py:56-80)
+            return col.cast("string")
+        if datetime_errors == "downgrade":
+            datetime_errors = "coerce"
         return timestamp_expr(col, colname, target, datetime_format, datetime_errors, src_type)
     if isinstance(
         target,
@@ -315,6 +332,29 @@ def cast_spark_table_to_schema(
             return p.get(name, default)
         return p
 
+    # 'raise_all' = the reference's collect-ALL-bad-values-then-raise
+    # semantics: one eager validation pass over every flagged column,
+    # ValueError listing counts + samples per column; afterwards the
+    # per-row raise expressions can never fire.
+    raise_all_cols = [
+        c["name"]
+        for c in metadata["columns"]
+        if c["name"] in src_types
+        and c["name"] not in drop_columns + ignore_columns + partitions
+        and "raise_all"
+        in (
+            policy(num_errors, c["name"]),
+            policy(bool_errors, c["name"]),
+            policy(datetime_errors, c["name"]),
+        )
+    ]
+    if raise_all_cols:
+        raise_on_cast_errors(df, metadata, bool_map=bool_map, columns=raise_all_cols)
+
+    def eff(p, name):
+        p = policy(p, name)
+        return "raise" if p == "raise_all" else p
+
     exprs: list[Column] = []
     for c in metadata["columns"]:
         name = c["name"]
@@ -337,9 +377,9 @@ def cast_spark_table_to_schema(
                 name,
                 target,
                 src_types.get(name),
-                num_errors=policy(num_errors, name),
-                bool_errors=policy(bool_errors, name),
-                datetime_errors=policy(datetime_errors, name),
+                num_errors=eff(num_errors, name),
+                bool_errors=eff(bool_errors, name),
+                datetime_errors=eff(datetime_errors, name),
                 bool_map=(bool_map or {}).get(name) if _is_per_col_map(bool_map) else bool_map,
                 datetime_format=c.get("datetime_format"),
             ).alias(name)
@@ -352,3 +392,127 @@ def _is_per_col_map(bool_map) -> bool:
     if not bool_map:
         return False
     return all(isinstance(v, dict) for v in bool_map.values())
+
+
+# ---------------------------------------------------------------------------
+# Collect-all-errors raise mode (C7 full parity) + schema merge (C11)
+# ---------------------------------------------------------------------------
+
+_ERROR_SAMPLE_CAP = 20
+
+
+def _bad_value_expr(
+    col: Column,
+    colname: str,
+    target: T.DataType,
+    src_type: T.DataType | None,
+    bool_map: dict | None,
+    datetime_format: str | None,
+) -> Column | None:
+    """Predicate: value is present but would not convert to ``target``.
+    None when the target type cannot produce conversion errors."""
+    if not isinstance(
+        target,
+        (T.BooleanType, T.DateType, T.TimestampType, T.ByteType, T.ShortType,
+         T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType),
+    ):
+        return None
+    if isinstance(src_type, T.BooleanType) and isinstance(target, T.BooleanType):
+        return None
+    coerced = conform_column(
+        col, colname, target, src_type,
+        num_errors="coerce", bool_errors="coerce", datetime_errors="coerce",
+        bool_map=bool_map, datetime_format=datetime_format,
+    )
+    present = col.isNotNull() & (F.trim(col.cast("string")) != "")
+    return present & coerced.isNull()
+
+
+def collect_cast_errors(
+    df: DataFrame,
+    metadata: dict,
+    *,
+    bool_map: dict | None = None,
+    columns: list[str] | None = None,
+    sample_cap: int = _ERROR_SAMPLE_CAP,
+) -> dict[str, dict]:
+    """Gather EVERY column's unconvertible values in ONE distributed
+    pass: per column a bad-row count plus a capped, sorted sample of
+    the distinct offending values.
+
+    This is the Spark shape of the reference's collect-all-then-raise
+    behavior (check_bool_mapping_errors,
+    /root/reference/arrow_pd_parser/caster.py:219-236): a row-level
+    ``raise_error`` expression fails on the FIRST bad value, which is
+    useless for debugging a dirty column — this reports them all.
+    """
+    src_types = {f.name: f.dataType for f in df.schema.fields}
+    want = set(columns) if columns is not None else None
+    aggs, names = [], []
+    for c in metadata["columns"]:
+        name = c["name"]
+        if name not in src_types or (want is not None and name not in want):
+            continue
+        target = meta_type_to_spark(c["type"])
+        per_col_bool = (
+            (bool_map or {}).get(name) if _is_per_col_map(bool_map) else bool_map
+        )
+        bad = _bad_value_expr(
+            F.col(name), name, target, src_types[name],
+            per_col_bool, c.get("datetime_format"),
+        )
+        if bad is None:
+            continue
+        names.append((name, target.simpleString()))
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__n_{name}"))
+        aggs.append(
+            F.slice(
+                F.sort_array(F.collect_set(F.when(bad, F.col(name).cast("string")))),
+                1, sample_cap,
+            ).alias(f"__s_{name}")
+        )
+    if not aggs:
+        return {}
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for name, tstr in names:
+        n = row[f"__n_{name}"] or 0
+        if n:
+            out[name] = {"n_bad": int(n), "target": tstr, "sample": list(row[f"__s_{name}"])}
+    return out
+
+
+def raise_on_cast_errors(
+    df: DataFrame,
+    metadata: dict,
+    *,
+    bool_map: dict | None = None,
+    columns: list[str] | None = None,
+) -> None:
+    """Run :func:`collect_cast_errors`; raise one ValueError naming
+    every bad column with counts and value samples (reference message
+    shape: "N values could not be cast ... Details: [...]")."""
+    errs = collect_cast_errors(df, metadata, bool_map=bool_map, columns=columns)
+    if errs:
+        lines = [
+            f"{e['n_bad']} values in column {name!r} could not be cast to "
+            f"{e['target']}. Details (up to {_ERROR_SAMPLE_CAP}): {e['sample']}"
+            for name, e in errs.items()
+        ]
+        raise ValueError("; ".join(lines))
+
+
+def update_existing_metadata(current: dict, new: dict) -> dict:
+    """Field-by-field schema merge (C11): update any column of
+    ``current`` that also appears in ``new`` (new wins), keep
+    current-only columns unchanged, IGNORE new-only columns, and
+    preserve ``current``'s column order — the exact semantics of the
+    reference's ``update_existing_schema``
+    (/root/reference/arrow_pd_parser/_arrow_parsers.py:26-53), over
+    metadata dicts instead of pa.Schema."""
+    new_by_name = {c["name"]: c for c in new.get("columns", [])}
+    merged = dict(current)
+    merged["columns"] = [
+        dict(new_by_name.get(c["name"], c)) for c in current.get("columns", [])
+    ]
+    return merged

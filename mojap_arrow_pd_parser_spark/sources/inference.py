@@ -42,13 +42,23 @@ def infer_format_from_meta(metadata: dict | None) -> str | None:
 
 
 def infer_file_format(path: str, metadata: dict | None = None) -> str:
-    """Path extension first, then metadata; conflict or neither -> error."""
+    """Path extension first, then metadata; the path wins a conflict.
+
+    Reference contract (tests/test_utils.py
+    Test_infer_file_format_with_meta::test_conflict_infer_from_both):
+    when path and metadata disagree, the path-derived format silently
+    wins (warn here, don't crash a read of e.g. a .csv export of a
+    parquet-registered table); only raise when NEITHER side yields a
+    format."""
     from_path = infer_format_from_filepath(path)
     from_meta = infer_format_from_meta(metadata)
     if from_path and from_meta and from_path != from_meta:
-        raise ValueError(
-            f"file format conflict: path says {from_path!r}, "
-            f"metadata says {from_meta!r}"
+        import warnings
+
+        warnings.warn(
+            f"file format conflict for {path!r}: path says {from_path!r}, "
+            f"metadata says {from_meta!r}; using the path",
+            stacklevel=2,
         )
     fmt = from_path or from_meta
     if not fmt:

@@ -154,6 +154,116 @@ class TestBoolTruthTable:
         got = [r.b for r in cast_spark_table_to_schema(df, meta).collect()]
         assert got == [True, False, None]
 
+    def test_unmapped_numeric_honors_policy(self, spark):
+        # reference maps stringified numerics through the truth table:
+        # 2 / -3.5 are NOT booleans (Spark's cast would say true)
+        df = spark.createDataFrame([(2,), (1,)], "b int")
+        meta = {"columns": [{"name": "b", "type": "bool_"}]}
+        with pytest.raises(Exception, match="unmapped value"):
+            cast_spark_table_to_schema(df, meta).collect()
+        dff = spark.createDataFrame([(-3.5,), (1.0,), (0.0,)], "b double")
+        got = [
+            r.b
+            for r in cast_spark_table_to_schema(
+                dff, meta, bool_errors="coerce"
+            ).collect()
+        ]
+        assert got == [None, True, False]
+
+
+class TestCollectAllErrors:
+    """Reference parity: raise mode that gathers EVERY bad value
+    (caster.py:219-236 'N values could not be cast ... Details: [...]'),
+    mirroring /root/reference/tests/test_pandas_parser.py:145-206."""
+
+    META = {
+        "columns": [
+            {"name": "b", "type": "bool_"},
+            {"name": "n", "type": "int64"},
+            {"name": "d", "type": "timestamp(ms)"},
+        ]
+    }
+
+    def _df(self, spark):
+        rows = [
+            ("yes", "1", "2024-01-01 00:00:00"),
+            ("apple", "x", "not-a-date"),
+            ("pear", "2", "2024-01-02 00:00:00"),
+            ("no", "y", "also-bad"),
+        ]
+        return spark.createDataFrame(rows, "b string, n string, d string")
+
+    def test_collects_every_bad_value_per_column(self, spark):
+        from mojap_arrow_pd_parser_spark.functions.conform import collect_cast_errors
+
+        errs = collect_cast_errors(self._df(spark), self.META)
+        assert errs["b"]["n_bad"] == 2 and errs["b"]["sample"] == ["apple", "pear"]
+        assert errs["n"]["n_bad"] == 2 and errs["n"]["sample"] == ["x", "y"]
+        assert errs["d"]["n_bad"] == 2 and set(errs["d"]["sample"]) == {
+            "also-bad", "not-a-date",
+        }
+
+    def test_raise_all_policy_names_all_columns(self, spark):
+        with pytest.raises(ValueError) as ei:
+            cast_spark_table_to_schema(
+                self._df(spark), self.META,
+                num_errors="raise_all", bool_errors="raise_all",
+                datetime_errors="raise_all",
+            )
+        msg = str(ei.value)
+        assert "'b'" in msg and "'n'" in msg and "'d'" in msg
+        assert "apple" in msg and "pear" in msg and "2 values" in msg
+
+    def test_raise_all_clean_data_passes(self, spark):
+        df = spark.createDataFrame(
+            [("yes", "1", "2024-01-01 00:00:00")], "b string, n string, d string"
+        )
+        out = cast_spark_table_to_schema(
+            df, self.META, num_errors="raise_all", bool_errors="raise_all",
+            datetime_errors="raise_all",
+        ).collect()
+        assert out[0].b is True and out[0].n == 1
+
+
+class TestDowngradeAndMerge:
+    def test_string_date_downgrade_keeps_string(self, spark):
+        # C12: reference validate_arrow_schema keeps string->date32
+        # columns as string instead of erroring
+        df = spark.createDataFrame([("2024-01-01",), ("oops",)], "d string")
+        meta = {"columns": [{"name": "d", "type": "date32"}]}
+        out = cast_spark_table_to_schema(df, meta, datetime_errors="downgrade")
+        assert dict(out.dtypes)["d"] == "string"
+        assert [r.d for r in out.collect()] == ["2024-01-01", "oops"]
+
+    def test_timestamp_downgrade_still_converts(self, spark):
+        df = spark.createDataFrame([("2024-01-01 00:00:00",)], "t string")
+        meta = {"columns": [{"name": "t", "type": "timestamp(ms)"}]}
+        out = cast_spark_table_to_schema(df, meta, datetime_errors="downgrade")
+        assert dict(out.dtypes)["t"] == "timestamp"
+
+    def test_update_existing_metadata_merge_order(self):
+        from mojap_arrow_pd_parser_spark.functions.conform import (
+            update_existing_metadata,
+        )
+
+        current = {
+            "columns": [
+                {"name": "a", "type": "int64"},
+                {"name": "b", "type": "string"},
+                {"name": "c", "type": "bool_"},
+            ]
+        }
+        new = {
+            "columns": [
+                {"name": "b", "type": "float64"},       # update wins
+                {"name": "z", "type": "string"},        # new-only: ignored
+            ]
+        }
+        merged = update_existing_metadata(current, new)
+        assert [c["name"] for c in merged["columns"]] == ["a", "b", "c"]
+        assert merged["columns"][1]["type"] == "float64"
+        assert merged["columns"][0]["type"] == "int64"
+
 
 class TestTimestamps:
     def test_custom_formats(self, spark):
@@ -251,9 +361,11 @@ class TestFormatInference:
     def test_paths(self, path, fmt):
         assert infer_file_format(path) == fmt
 
-    def test_conflict_raises(self):
-        with pytest.raises(ValueError, match="conflict"):
-            infer_file_format("x.csv", {"file_format": "parquet"})
+    def test_conflict_path_wins_with_warning(self):
+        # reference contract: path-derived format silently wins a
+        # conflict (tests/test_utils.py test_conflict_infer_from_both)
+        with pytest.warns(UserWarning, match="conflict"):
+            assert infer_file_format("x.csv", {"file_format": "parquet"}) == "csv"
 
     def test_meta_fallback(self):
         assert infer_file_format("noext", {"file_format": "jsonl"}) == "json"
