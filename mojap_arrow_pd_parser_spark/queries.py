@@ -947,6 +947,12 @@ def q28_dup_components(spark, sf):
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
+    # localCheckpoint per iteration: truncates the join-loop lineage so
+    # the plan stays O(1) per round instead of growing by one join each
+    # iteration (at billions of edges the un-truncated plan explodes
+    # long before the data does); eager=True also caches the labels,
+    # which the convergence probe re-reads anyway.
+    labels = labels.localCheckpoint()
     for _ in range(8):  # diameter bound for near-dup graphs
         neigh = (
             edges.join(labels, edges.b == labels.id)
@@ -961,18 +967,16 @@ def q28_dup_components(spark, sf):
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
-        )
-        if (
+        ).localCheckpoint()
+        changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
             .count()
-            == 0
-        ):
-            labels = new_labels
-            break
+        )
         labels = new_labels
+        if changed == 0:
+            break
     return (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("size"), F.max("id").alias("max_id"))

@@ -157,6 +157,19 @@ class TestShuffleShape:
         # numbered detail section)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
+    def test_label_propagation_lineage_bounded(self, spark):
+        """q28's iterative loop must localCheckpoint per round: the
+        final plan reads the checkpointed labels (ExistingRDD), not a
+        tower of 8 nested joins."""
+        from mojap_arrow_pd_parser_spark.queries import q28_dup_components
+
+        df = q28_dup_components(spark, SF)
+        plan = plan_of(df)
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+        # the whole residual plan is the final aggregate over labels:
+        # no Join nodes survive into it
+        assert plan.count("Join") <= 1, plan[:2000]
+
     def test_salted_agg_two_stage(self, spark):
         from mojap_arrow_pd_parser_spark.queries import q19_salted_agg
 
