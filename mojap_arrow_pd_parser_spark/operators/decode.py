@@ -38,13 +38,42 @@ def decode_table(
     out_dir: str,
     columns: list[str] | None = None,
     verify_checksums: bool = True,
+    key_range: tuple | None = None,
 ) -> DataFrame:
-    """Decode an encoded table back to its original schema (lazy)."""
+    """Decode an encoded table back to its original schema (lazy).
+
+    ``key_range=(lo, hi)`` prunes CHUNK FILES via the manifest's
+    per-chunk key_min/key_max (the engine's zone map — the same trick
+    parquet row-group stats / Iceberg manifests use): only overlapping
+    chunks are scanned at all, then an exact row filter applies after
+    decode. A point/range lookup on a 100-TB table touches O(range)
+    chunk files instead of all of them. Manifest min/max compare as
+    strings, so pruning applies only when the sort key is a string
+    type (everything else falls back to decode-all + row filter).
+    """
     plan = load_plan(out_dir)
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
+    key = plan.get("key")
+    if key_range is not None and key and key not in names:
+        names = list(names) + [key]  # needed for the row-level filter
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
-    enc = spark.read.parquet(fsio.join(out_dir, "chunks"))
+    chunk_paths = None
+    if key_range is not None and plan.get("key_type", "string") == "string":
+        from .encode import scan_done_chunks
+
+        lo, hi = key_range
+        chunk_paths = [
+            fsio.join(out_dir, "chunks", m["file"])
+            for m in scan_done_chunks(out_dir).values()
+            if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
+        ]
+        if not chunk_paths:
+            return spark.createDataFrame([], out_schema)
+    if chunk_paths is not None:
+        enc = spark.read.parquet(*chunk_paths)
+    else:
+        enc = spark.read.parquet(fsio.join(out_dir, "chunks"))
     enc = enc.filter(F.col("column").isin(names)).select(
         "chunk_id", "column", "meta", "payload", "crc32"
     )
@@ -85,7 +114,10 @@ def decode_table(
             out = decode_chunk(table.filter(pc.equal(ids, cid)))
             yield from out.to_batches()
 
-    return enc.mapInArrow(decode_partition, schema=out_schema)
+    decoded = enc.mapInArrow(decode_partition, schema=out_schema)
+    if key_range is not None and key in [f.name for f in out_schema.fields]:
+        decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
+    return decoded
 
 
 def _row_digest_agg(df: DataFrame, cols: list[str]):

@@ -57,6 +57,26 @@ def test_column_pruned_decode(spark, src, tmp_path):
     assert d.count() == N_DOCS
 
 
+def test_range_pruned_decode_skips_chunks(spark, src, tmp_path):
+    """key_range decode: manifest zone map prunes chunk FILES, exact
+    row filter after decode — result equals a plain source filter."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    ids = sorted(r.doc_id for r in src.select("doc_id").collect())
+    lo, hi = ids[len(ids) // 10], ids[len(ids) // 5]
+    dec = decode_table(spark, out, key_range=(lo, hi))
+    # fewer chunk files scanned than exist (zone-map pruning is real)
+    assert 0 < len(dec.inputFiles()) < 8
+    expect = src.filter(F.col("doc_id").between(lo, hi))
+    assert dec.count() == expect.count() > 0
+    got_tok = dec.agg(F.sum("n_tok")).collect()[0][0]
+    assert got_tok == expect.agg(F.sum("n_tok")).collect()[0][0]
+    # empty range short-circuits without a scan
+    assert decode_table(spark, out, key_range=("zzz", "zzzz")).count() == 0
+
+
 def test_size_beats_parquet_snappy(spark, src, tmp_path):
     """Total encoded bytes <= reference parquet-snappy encoding (BASELINE)."""
     ref = str(tmp_path / "ref_parquet")
