@@ -126,7 +126,11 @@ DEFAULT_CASCADE = "zstd"
 def _cascade_codec(name: str):
     import pyarrow as _pa
 
-    return _pa.Codec(name, compression_level=1 if name == "zstd" else None)
+    # zstd-3: ~1.4% smaller than level 1 on the tokens regime mix for
+    # +9% kernel CPU — and the multi-core encode wall is Arrow-transfer
+    # bound, not kernel bound, so the ratio is effectively free. Decode
+    # is level-agnostic (zstd frames self-describe).
+    return _pa.Codec(name, compression_level=3 if name == "zstd" else None)
 
 
 def encode_array(
