@@ -74,6 +74,55 @@ def write(
         raise ValueError(f"unsupported format {fmt!r}")
 
 
+def write_csv_arrow(
+    df: DataFrame,
+    output_path: str,
+    include_header: bool = True,
+) -> int:
+    """K8: a WORKING Arrow-native CSV sink (pyarrow.csv.write_csv per
+    partition inside one mapInArrow pass — Arrow's C++ CSV serializer,
+    no per-row Python, every part file carries the header).
+
+    The reference ships this writer as a broken stub
+    (/root/reference/arrow_pd_parser/_writers.py:361-366 raises on
+    use); this is the functioning equivalent rather than a skip.
+    Returns the number of part files written.
+
+    Dialect note: arrow emits RFC 4180 CSV (quotes escaped by
+    doubling) — read back with Spark option ``escape='"'``.
+    """
+    import pyarrow as pa
+
+    from . import fsio
+
+    fsio.makedirs(output_path)
+
+    def write_part(batches):
+        import uuid as _uuid
+
+        import pyarrow.csv as pacsv
+
+        collected = [b for b in batches if b.num_rows]
+        if not collected:
+            return
+        table = pa.Table.from_batches(collected)
+        name = f"part-{_uuid.uuid4().hex}.csv"
+        fs, root = fsio.resolve(output_path)
+        opts = pacsv.WriteOptions(include_header=include_header)
+        if fsio.is_local(fs):
+            tmp = f"{root}/.tmp-{name}"
+            with fs.open_output_stream(tmp) as f:
+                pacsv.write_csv(table, f, opts)
+            fs.move(tmp, f"{root}/{name}")
+        else:
+            with fs.open_output_stream(f"{root}/{name}") as f:
+                pacsv.write_csv(table, f, opts)
+        yield pa.RecordBatch.from_pylist([{"file": name, "n_rows": table.num_rows}])
+
+    parts = df.mapInArrow(write_part, schema="file string, n_rows long").collect()
+    return len(parts)
+
+
 def _verify_written_schema(df: DataFrame, output_path: str) -> None:
     """Re-read the written files' schema; warn on drift (K4)."""
     spark = df.sparkSession
