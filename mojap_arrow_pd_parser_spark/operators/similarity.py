@@ -83,6 +83,42 @@ def pairwise_neardups(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Embedding near-dup mining at scale: bucket by random-hyperplane
+    signature, compare ONLY within buckets (the O(N^2) cross-join of
+    :func:`pairwise_neardups` becomes an equi-join on bucket id whose
+    cost is sum of bucket sizes squared — tunable via n_planes), then
+    exact cosine filter. Misses pairs split across buckets; recall is
+    raised by lowering n_planes (or unioning a second seed's pass)."""
+    b = rp_lsh_buckets(df, dim, n_planes, seed, vec_col, id_col)
+    x, y = b.alias("x"), b.alias("y")
+    cos = _dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
+        _norm(F.col(f"x.{vec_col}")) * _norm(F.col(f"y.{vec_col}"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.round(cos, round_digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=[seed, 0xA11CE]))
     return rng.standard_normal((n_planes, dim)).astype(np.float32)

@@ -744,6 +744,46 @@ GROUP BY source ORDER BY source
 """
 
 
+def q32_lsh_neardup_pairs(spark, sf):
+    """Embedding near-dup mining, the 100-TB shape: within-bucket
+    pairs only (equi-join on the hyperplane signature), exact cosine
+    filter. Oracle replicates buckets from the same plane literals."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.lsh_neardup_pairs(
+        emb, dim=64, threshold=0.4, n_planes=2
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_lsh_neardup(n_planes: int = 2, dim: int = 64, seed: int = 42,
+                     threshold: float = 0.4) -> str:
+    planes = similarity._hyperplanes(n_planes, dim, seed).astype("float64")
+    plane_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(j, ", ".join(repr(float(x)) for x in planes[j]))
+        for j in range(n_planes)
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES {plane_rows}),
+bucketed AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p) > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, planes GROUP BY e.vec_id, e.embedding
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(list_dot_product(x.embedding, y.embedding)
+               / (sqrt(list_dot_product(x.embedding, x.embedding))
+                  * sqrt(list_dot_product(y.embedding, y.embedding))), 5) AS cosine
+  FROM bucketed x JOIN bucketed y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_Q32 = _sql_lsh_neardup()
+
+
 def q21_simhash(spark, sf):
     """Portable SimHash: md5-derived word bits -> exact DuckDB oracle
     (the xxhash64-based simhash64 stays the prod-default variant)."""
@@ -1216,4 +1256,5 @@ QUERIES = {
     "q22_ann_lsh": (q22_ann_lsh, SQL_Q22),
     "q23_multimodal_features": (q23_multimodal_features, SQL_Q23),
     "q31_range_pruned_decode": (q31_range_pruned_decode, SQL_Q31),
+    "q32_lsh_neardup_pairs": (q32_lsh_neardup_pairs, SQL_Q32),
 }

@@ -102,6 +102,32 @@ class TestSimilarity:
         expect = set(pdf.vec_id.to_numpy()[np.argsort(-cos)][:5].tolist())
         assert got == expect
 
+    def test_lsh_neardup_pairs_matches_exact_within_buckets(self, spark):
+        """Scale path for embedding near-dups: LSH-bucketed pairs are a
+        subset of the exact O(N^2) pairs with decent recall on planted
+        twins."""
+        rng = np.random.Generator(np.random.Philox(key=[21, 0]))
+        rows, vid = [], 0
+        for _ in range(60):
+            b = rng.standard_normal(16)
+            for _ in range(2):  # twin pairs
+                v = b + 0.02 * rng.standard_normal(16)
+                rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in similarity.pairwise_neardups(df, threshold=0.95).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in similarity.lsh_neardup_pairs(
+                df, dim=16, threshold=0.95, n_planes=4
+            ).collect()
+        }
+        assert lsh <= exact  # no false pairs (exact re-check in-bucket)
+        assert len(lsh & exact) / max(1, len(exact)) >= 0.7  # recall
+
     def test_multiprobe_recall_at_16_planes(self, spark):
         # planted near-dup clusters (LSH's actual workload): recall>=0.9
         # at n_planes=16 needs multiprobe — single-bucket recall dies
