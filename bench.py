@@ -266,7 +266,7 @@ def main() -> None:
 
     fa_out = f"/tmp/bench_enc_fa_{CPUS}"
     fa_walls = []
-    for i in range(3):
+    for i in range(2):  # 1 warm + 1 measured (JVM already hot here)
         shutil.rmtree(fa_out, ignore_errors=True)
         t0 = time.monotonic()
         encode_files(spark, src, fa_out, resume=False, consolidate=False)
