@@ -256,9 +256,12 @@ def main() -> None:
     out = f"/tmp/bench_enc_{CPUS}"
     shutil.rmtree(out, ignore_errors=True)
     enc = run_encode(spark, src, out, n_chunks=64)
-    t0 = time.monotonic()
-    vr = verify_roundtrip(spark, spark.read.parquet(src), out)
-    verify_wall = round(time.monotonic() - t0, 3)
+    verify_walls = []
+    for _ in range(2):  # min-of-2: the pass lands right after the
+        t0 = time.monotonic()  # credit-draining scaling phase
+        vr = verify_roundtrip(spark, spark.read.parquet(src), out)
+        verify_walls.append(time.monotonic() - t0)
+    verify_wall = round(min(verify_walls), 3)
     ratio = round(dir_bytes(os.path.join(out, "chunks")) / dir_bytes(src), 4)
 
     # secondary: the shuffle-free file-aligned path (min-of-2 warm)
