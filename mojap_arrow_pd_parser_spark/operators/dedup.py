@@ -94,19 +94,26 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return ranked.filter(F.col("_rn") == 1).drop("_digest", "_rn")
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
+
+    ``distinct=True`` (set semantics — REQUIRED for Jaccard) costs a
+    full shuffle of the exploded shingles; operators whose aggregate
+    is duplicate-insensitive (MIN for minhash) pass ``distinct=False``
+    and skip that shuffle entirely.
+    """
     words = F.split(normalize_text(F.col(text_col)), " ")
     # sliding n-gram via transform over index range (JVM-side, no UDF)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).filter(
+        F.length("shingle") > 0
     )
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -173,8 +180,12 @@ def minhash_signatures(
     hash call and k fused multiply-adds per shingle instead of k
     digest computations, and integer (not hex-string) min aggregates.
     ``base_hash='md5'`` gives the DuckDB-portable variant.
+
+    MIN is duplicate-insensitive, so the shingle set is NOT
+    deduplicated — that skips the distinct's full shuffle; the only
+    exchange left is the groupBy(id) partial-aggregated min.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_n)
+    sh = word_shingles(df, text_col, id_col, shingle_n, distinct=False)
     h = sh.select("id", base_hash_expr(F.col("shingle"), base_hash).alias("h0"))
     aggs = [
         F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{k}")
