@@ -119,6 +119,76 @@ def lsh_neardup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer -> probe nprobe
+# nearest lists -> exact re-rank. The scale shape FAISS popularized:
+# search cost drops from O(N) to O(N * nprobe / k) per query.
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    df: DataFrame, k: int = 16, seed: int = 42, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Train the coarse quantizer (MLlib k-means, fixed seed) and
+    return the (k, dim) float64 centroid matrix. Training is the only
+    stochastic step; everything downstream derives deterministically
+    from these centroids (which callers should persist)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(vdf)
+    return np.array(model.clusterCenters(), dtype=np.float64)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid list id per vector, as a pure JVM expression:
+    ||v-c||^2 = v.v - 2 v.c + c.c per centroid, argmin with ties to
+    the LOWEST cid (the exact formula the SQL oracle replicates —
+    sequential-fold dots on both engines, no BLAS reassociation)."""
+    vv = _dot(F.col(vec_col), F.col(vec_col))
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cc = float(np.dot(c, c))
+        dists.append(vv - 2.0 * _dot(F.col(vec_col), carr) + F.lit(cc))
+    m = F.least(*dists)
+    assign = F.when(dists[0] == m, 0)
+    for cid in range(1, len(dists)):
+        assign = assign.when(dists[cid] == m, cid)
+    return df.select(F.col(id_col), F.col(vec_col), assign.alias("list_id"))
+
+
+def ivf_search(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` lists nearest the query, exact re-rank.
+
+    The probe choice is O(k) driver-side arithmetic; the candidate
+    filter is a predicate on the assignment expression, so the whole
+    search is one pruned scan + partial top-k — no shuffle."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
+    cand = ivf_assign(df, centroids, vec_col, id_col).filter(
+        F.col("list_id").isin(probes)
+    ).drop("list_id")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.Philox(key=[seed, 0xA11CE]))
     return rng.standard_normal((n_planes, dim)).astype(np.float32)

@@ -784,6 +784,67 @@ ORDER BY id_a, id_b
 SQL_Q32 = _sql_lsh_neardup()
 
 
+def q33_ivf_ann(spark, sf):
+    """IVF ANN: MLlib k-means coarse quantizer (the only stochastic
+    step; centroids persisted as an artifact), then probe the 2
+    nearest lists and re-rank exactly. The oracle re-derives EVERY
+    assignment and the probe set from the persisted centroids — the
+    same ||v-c||^2 argmin formula, ties to lowest cid."""
+    import pandas as pd
+
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.ivf_fit_centroids(emb.filter(F.col("vec_id") != 0), k=16)
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"cid": range(len(cents)), "centroid": [c.tolist() for c in cents]}
+        )
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{ARTIFACT_DIR}/q33_centroids")
+    persisted = spark.read.parquet(f"{ARTIFACT_DIR}/q33_centroids").orderBy("cid").collect()
+    import numpy as np
+
+    centroids = np.array([r.centroid for r in persisted], dtype="float64")
+    return similarity.ivf_search(
+        emb.filter(F.col("vec_id") != 0), centroids, _query_vec(spark, sf),
+        k=10, nprobe=2,
+    )
+
+
+SQL_Q33 = f"""
+WITH c AS (
+  SELECT cid, CAST(centroid AS DOUBLE[]) AS centroid
+  FROM read_parquet('{ARTIFACT_DIR}/q33_centroids/*.parquet')
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (
+  SELECT cid,
+         list_dot_product(qv, qv) - 2 * list_dot_product(qv, centroid)
+           + list_dot_product(centroid, centroid) AS d2
+  FROM q, c
+),
+probes AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT 2),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                    - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), centroid)
+                    + list_dot_product(centroid, centroid),
+                    c.cid
+         ) AS rn
+  FROM embeddings e, c WHERE e.vec_id <> 0
+),
+cand AS (
+  SELECT vec_id, embedding FROM dists
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT vec_id,
+       round(list_dot_product(embedding, qv)
+             / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))), 5) AS cosine
+FROM cand, q ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def q21_simhash(spark, sf):
     """Portable SimHash: md5-derived word bits -> exact DuckDB oracle
     (the xxhash64-based simhash64 stays the prod-default variant)."""
@@ -1257,4 +1318,5 @@ QUERIES = {
     "q23_multimodal_features": (q23_multimodal_features, SQL_Q23),
     "q31_range_pruned_decode": (q31_range_pruned_decode, SQL_Q31),
     "q32_lsh_neardup_pairs": (q32_lsh_neardup_pairs, SQL_Q32),
+    "q33_ivf_ann": (q33_ivf_ann, SQL_Q33),
 }

@@ -128,6 +128,29 @@ class TestSimilarity:
         assert lsh <= exact  # no false pairs (exact re-check in-bucket)
         assert len(lsh & exact) / max(1, len(exact)) >= 0.7  # recall
 
+    def test_ivf_search_recall(self, spark, emb):
+        """IVF: coarse k-means quantizer + nprobe lists + exact rerank;
+        candidates shrink (pruned scan) while recall stays usable, and
+        nprobe=k degenerates to exact brute force."""
+        q = [0.25] * 16
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        cents = similarity.ivf_fit_centroids(emb, k=8, seed=7)
+        assert cents.shape == (8, 16)
+        full = {
+            r.vec_id
+            for r in similarity.ivf_search(emb, cents, q, k=10, nprobe=8).collect()
+        }
+        assert full == exact  # all lists probed == brute force
+        probed = {
+            r.vec_id
+            for r in similarity.ivf_search(emb, cents, q, k=10, nprobe=3).collect()
+        }
+        assert len(probed & exact) / 10 >= 0.5
+        # assignment is a total partition of the ids
+        assigned = similarity.ivf_assign(emb, cents)
+        assert assigned.count() == emb.count()
+        assert assigned.filter(F.col("list_id").isNull()).count() == 0
+
     def test_multiprobe_recall_at_16_planes(self, spark):
         # planted near-dup clusters (LSH's actual workload): recall>=0.9
         # at n_planes=16 needs multiprobe — single-bucket recall dies
