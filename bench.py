@@ -282,6 +282,16 @@ def main() -> None:
         vr = verify_roundtrip(spark, spark.read.parquet(src), out)
         verify_walls.append(time.monotonic() - t0)
     verify_wall = round(min(verify_walls), 3)
+
+    # decode-only throughput (distributed, noop sink, min-of-2)
+    from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+    dec_walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        decode_table(spark, out).write.format("noop").mode("overwrite").save()
+        dec_walls.append(time.monotonic() - t0)
+    dec_wall = round(min(dec_walls), 3)
     ratio = round(dir_bytes(os.path.join(out, "chunks")) / dir_bytes(src), 4)
 
     # secondary: the shuffle-free file-aligned path (min-of-2 warm)
@@ -325,6 +335,8 @@ def main() -> None:
         "encode_tokens": enc["tokens"],
         "encode_file_aligned_sec": fa_wall,
         "encode_file_aligned_tokens_per_sec": round(enc["tokens"] / fa_wall),
+        "decode_sec": dec_wall,
+        "decode_tokens_per_sec": round(enc["tokens"] / dec_wall),
         "compression_ratio_vs_parquet_snappy": ratio,
         "roundtrip_mismatches": vr["mismatches"],
         "scaling": scaling,

@@ -157,6 +157,18 @@ class TestShuffleShape:
         # numbered detail section)
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
+    def test_ivf_assign_is_jvm_side(self, spark):
+        """IVF list assignment is pure Column expressions (16 fold
+        dots + argmin chain) — no Python eval stage in the plan."""
+        import numpy as np
+
+        from mojap_arrow_pd_parser_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cents = np.arange(16 * 64, dtype="float64").reshape(16, 64) / 1024.0
+        plan = plan_of(similarity.ivf_assign(emb, cents))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_label_propagation_lineage_bounded(self, spark):
         """q28's iterative loop must localCheckpoint per round: the
         final plan reads the checkpointed labels (ExistingRDD), not a
