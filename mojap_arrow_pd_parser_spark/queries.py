@@ -784,6 +784,35 @@ ORDER BY id_a, id_b
 SQL_Q32 = _sql_lsh_neardup()
 
 
+def q34_manifest_lineage(spark, sf):
+    """Lineage manifest invariant (N12): the per-chunk JSON sidecars
+    written by executors and the consolidated manifest.parquet must
+    agree exactly. Spark side rebuilds rows FROM THE SIDECARS; the
+    oracle reads the consolidated parquet — a cross-artifact equality
+    check of the commit protocol, not a pass-through."""
+    from .operators.encode import scan_done_chunks
+
+    _src, enc_dir, _dec = _ensure_q20_artifacts(spark)
+    rows = [
+        (int(m["chunk_id"]), int(m["n_rows"]), int(m["n_cols"]),
+         int(m["in_bytes"]), int(m["out_bytes"]), m["crc32"], m["codecs"])
+        for m in scan_done_chunks(enc_dir).values()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "chunk_id int, n_rows bigint, n_cols int, in_bytes bigint, "
+        "out_bytes bigint, crc32 string, codecs string",
+    )
+    return df.orderBy("chunk_id")
+
+
+SQL_Q34 = f"""
+SELECT chunk_id, n_rows, n_cols, in_bytes, out_bytes, crc32, codecs
+FROM read_parquet('{ARTIFACT_DIR}/q20_enc/manifest.parquet/*.parquet')
+ORDER BY chunk_id
+"""
+
+
 def q33_ivf_ann(spark, sf):
     """IVF ANN: MLlib k-means coarse quantizer (the only stochastic
     step; centroids persisted as an artifact), then probe the 2
@@ -1319,4 +1348,5 @@ QUERIES = {
     "q31_range_pruned_decode": (q31_range_pruned_decode, SQL_Q31),
     "q32_lsh_neardup_pairs": (q32_lsh_neardup_pairs, SQL_Q32),
     "q33_ivf_ann": (q33_ivf_ann, SQL_Q33),
+    "q34_manifest_lineage": (q34_manifest_lineage, SQL_Q34),
 }
