@@ -50,6 +50,9 @@ def main() -> None:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode + round-trip verify after encoding")
+    p.add_argument("--compact-min-rows", type=int, default=0,
+                   help="after encoding, merge chunks smaller than this "
+                        "(crash-safe replace semantics + GC)")
     args = p.parse_args()
     if not args.synthetic and not args.input:
         p.error("need --input or --synthetic")
@@ -97,6 +100,11 @@ def main() -> None:
         "out_bytes": stats["sum(out_bytes)"],
         "wall_sec": round(time.monotonic() - t0, 2),
     }
+    if args.compact_min_rows:
+        from mojap_arrow_pd_parser_spark.operators.encode import compact_chunks
+
+        compacted = compact_chunks(spark, args.output, min_rows=args.compact_min_rows)
+        result["chunks_after_compact"] = compacted.count()
     if args.verify:
         result["verify"] = verify_roundtrip(spark, df, args.output, key=args.key)
     print(json.dumps(result))
