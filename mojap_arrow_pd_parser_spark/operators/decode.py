@@ -92,6 +92,17 @@ def decode_table(
         "chunk_id", "column", "meta", "payload", "crc32"
     )
 
+    decoded = decode_rows_df(enc, out_schema, verify_checksums)
+    if key_range is not None and key in [f.name for f in out_schema.fields]:
+        decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
+    return decoded
+
+
+def decode_rows_df(
+    enc: DataFrame, out_schema: StructType, verify_checksums: bool = True
+) -> DataFrame:
+    """Core decode: encoded-rows DataFrame -> decoded rows via one
+    mapInArrow pass (shared by batch decode_table and stream_decode)."""
     arrow_schema_names = [f.name for f in out_schema.fields]
 
     def decode_chunk(table: pa.Table) -> pa.Table:
@@ -128,10 +139,7 @@ def decode_table(
             out = decode_chunk(table.filter(pc.equal(ids, cid)))
             yield from out.to_batches()
 
-    decoded = enc.mapInArrow(decode_partition, schema=out_schema)
-    if key_range is not None and key in [f.name for f in out_schema.fields]:
-        decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
-    return decoded
+    return enc.mapInArrow(decode_partition, schema=out_schema)
 
 
 def _row_digest_agg(df: DataFrame, cols: list[str]):

@@ -55,6 +55,62 @@ def stream_encode(
     )
 
 
+#: encoded chunk-file row schema (operators/encode.py CHUNK_FILE_SCHEMA)
+ENCODED_ROWS_DDL = (
+    "chunk_id int, column string, codec string, meta string, "
+    "payload binary, n_rows bigint, in_bytes bigint, out_bytes bigint, "
+    "crc32 string"
+)
+
+
+def stream_decode(
+    spark: SparkSession,
+    out_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming consumer of an encoded table: readStream over the
+    chunk files -> per-batch codec decode -> parquet sink. Returns the
+    query (``availableNow`` trigger: drains existing chunks, stops).
+
+    Each source file IS one whole chunk, so every micro-batch holds
+    complete chunks and decodes independently. Replay safety: each
+    epoch writes ``sink_dir/epoch=<id>`` with overwrite, so a retried
+    batch after a crash rewrites its own partition instead of
+    appending duplicates (idempotent sink on top of the file source's
+    checkpointed exactly-once file assignment).
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from ..operators.decode import decode_rows_df, load_plan
+
+    plan = load_plan(out_dir)
+    out_schema = StructType.fromJson(_json.loads(plan["schema_json"]))
+    src = (
+        spark.readStream.schema(ENCODED_ROWS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{out_dir}/chunks")
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enc = batch_df.select("chunk_id", "column", "meta", "payload", "crc32")
+        decode_rows_df(enc, out_schema).write.mode("overwrite").parquet(
+            f"{sink_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts_stream(
     spark: SparkSession,
     events_dir: str,

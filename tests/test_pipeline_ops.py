@@ -230,6 +230,30 @@ class TestStreaming:
         stored = spark.read.parquet(src_dir)
         assert verify_roundtrip(spark, stored, out)["mismatches"] == 0
 
+    def test_stream_decode_matches_batch(self, spark, tmp_path):
+        """Streaming consumer of the encoded table: per-batch codec
+        decode into an epoch-partitioned parquet sink == batch decode."""
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        from mojap_arrow_pd_parser_spark.streaming.pipeline import stream_decode
+
+        out = str(tmp_path / "enc")
+        sink = str(tmp_path / "decoded")
+        src = tokens_table(spark, 1200, seed=9, avg_len=32)
+        encode_table(spark, src, out, key="doc_id", n_chunks=6)
+        q = stream_decode(spark, out, sink, str(tmp_path / "ckpt2"),
+                          max_files_per_trigger=2)
+        q.awaitTermination(120)
+        got = spark.read.option("recursiveFileLookup", "false").parquet(sink)
+        assert got.count() == 1200
+        j = src.alias("o").join(got.alias("d"), "doc_id")
+        ok = (
+            F.col("o.tokens").eqNullSafe(F.col("d.tokens"))
+            & F.col("o.n_tok").eqNullSafe(F.col("d.n_tok"))
+            & F.col("o.source").eqNullSafe(F.col("d.source"))
+        )
+        assert j.filter(~ok).count() == 0
+
     def test_windowed_counts_stream_matches_batch(self, spark, tmp_path):
         from mojap_arrow_pd_parser_spark.streaming.pipeline import (
             windowed_event_counts_batch,
