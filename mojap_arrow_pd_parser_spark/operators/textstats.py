@@ -57,6 +57,51 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm): hash every char k-gram, slide a w-hash
+    window, keep each window's minimum, emit the distinct minima.
+    Guarantees a shared fingerprint for any match of length >= w+k-1;
+    the standard near-dup/plagiarism sketch for large corpora.
+
+    All JVM array expressions (sequence/transform/slice/array_min —
+    one narrow map, no UDF, no explode shuffle until the final
+    distinct). The k-gram hash is the md5-prefix integer (28-bit) so
+    DuckDB reproduces every fingerprint exactly.
+    """
+    # materialize the normalized text (and then the gram array) ONCE
+    # per row — referencing the normalization expression inside the
+    # per-gram lambda would re-run the regex per element, O(len^2)
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
+    )
+    t = F.col("_t")
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(k))), 1, 7), 16, 10
+        ).cast("long"),
+    )
+    staged = base.select("id", grams.alias("_hs"))
+    hs = F.col("_hs")
+    n_wins = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return (
+        staged.select("id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .distinct()
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

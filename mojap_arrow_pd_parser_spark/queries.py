@@ -813,6 +813,40 @@ ORDER BY chunk_id
 """
 
 
+def q35_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) document fingerprints: k-gram rolling hashes,
+    window minima, distinct — the classic fingerprint sketch; oracle
+    recomputes every window minimum in SQL from the same md5-prefix
+    gram hash."""
+    return textstats.winnow_fingerprints(
+        _t(spark, sf, "documents"), k=5, w=4
+    ).orderBy("id", "fp")
+
+
+SQL_Q35 = """
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+c AS (SELECT id, t, greatest(length(t) - 4, 1) AS m FROM docs),
+g AS (
+  SELECT id,
+         [CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 7) AS BIGINT)
+          FOR i IN range(1, m + 1)] AS hs
+  FROM c
+),
+wins AS (
+  SELECT id,
+         list_distinct([list_aggregate(hs[j:j+3], 'min')
+                        FOR j IN range(1, greatest(len(hs) - 3, 1) + 1)]) AS fps
+  FROM g
+)
+SELECT DISTINCT id, fp
+FROM (SELECT id, UNNEST(fps) AS fp FROM wins) u
+ORDER BY id, fp
+"""
+
+
 def q33_ivf_ann(spark, sf):
     """IVF ANN: MLlib k-means coarse quantizer (the only stochastic
     step; centroids persisted as an artifact), then probe the 2
@@ -1349,4 +1383,5 @@ QUERIES = {
     "q32_lsh_neardup_pairs": (q32_lsh_neardup_pairs, SQL_Q32),
     "q33_ivf_ann": (q33_ivf_ann, SQL_Q33),
     "q34_manifest_lineage": (q34_manifest_lineage, SQL_Q34),
+    "q35_winnow_fingerprints": (q35_winnow_fingerprints, SQL_Q35),
 }

@@ -86,6 +86,40 @@ class TestDedup:
         assert capped.count() == 0
 
 
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self, spark):
+        """Winnowing guarantee: any common substring of length >=
+        w+k-1 (= 8 at k=5,w=4) yields at least one shared fingerprint;
+        disjoint docs share none (w.h.p.)."""
+        from mojap_arrow_pd_parser_spark.operators.textstats import (
+            winnow_fingerprints,
+        )
+
+        common = "the same long plagiarised sentence appears here"
+        rows = [
+            (1, f"prefix one {common} suffix alpha"),
+            (2, f"other beginning {common} different end"),
+            (3, "entirely unrelated content zqx jvw kpt mbn"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints(df, k=5, w=4).collect()
+        by_id = {}
+        for r in fps:
+            by_id.setdefault(r.id, set()).add(r.fp)
+        assert by_id[1] & by_id[2]  # the shared run fingerprints overlap
+        assert not (by_id[1] & by_id[3])
+
+    def test_deterministic_and_distinct(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.textstats import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame([(1, "abcabcabcabcabc")], "doc_id long, text string")
+        a = sorted((r.id, r.fp) for r in winnow_fingerprints(df).collect())
+        b = sorted((r.id, r.fp) for r in winnow_fingerprints(df).collect())
+        assert a == b and len(a) == len(set(a))
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
