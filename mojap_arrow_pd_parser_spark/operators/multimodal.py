@@ -106,6 +106,59 @@ def synthetic_media_table(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, Arrow-batched).
+
+    The Spark plumbing is real — image-only filter pushed to the scan,
+    bounded decode batches (resized thumbs are the memory hog, so
+    ``batch_rows`` is deliberately smaller than extract_features'),
+    typed (media_id, out_w, out_h, thumb) output. The pixel work is
+    the STUB layer (no PIL/ffmpeg in this container): ``fake=True``
+    emits a deterministic digest-seeded thumb of exactly
+    out_w*out_h*3 bytes; ``fake=False`` raises like decode_payload.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[start : start + batch_rows]
+                thumbs = []
+                for p in part[payload_col]:
+                    if not fake:
+                        raise NotImplementedError(
+                            "real image resizing requires imaging libraries "
+                            "not present in this environment; use fake=True "
+                            "for plumbing tests"
+                        )
+                    digest = hashlib.sha256(p or b"").digest()
+                    seed = int.from_bytes(digest[:8], "little")
+                    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+                    thumbs.append(
+                        rng.integers(0, 256, out_w * out_h * 3, dtype=np.uint8).tobytes()
+                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: part[id_col].to_numpy(),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "thumb": thumbs,
+                    }
+                )
+
+    imgs = df.filter(F.col("modality") == "image")
+    return imgs.mapInPandas(
+        run, schema=f"{id_col} string, out_w int, out_h int, thumb binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Per-video frame sampling plan (timestamps to decode) — pure SQL."""
     return df.filter(F.col("modality") == "video").select(

@@ -228,6 +228,23 @@ class TestSimilarity:
 
 
 class TestMultimodal:
+    def test_resize_plumbing(self, spark):
+        """Resize path: image-only filter, bounded batches, exact thumb
+        byte size, deterministic across runs; fake=False raises."""
+        import pytest as _pytest
+
+        media = multimodal.synthetic_media_table(spark, n_rows=30)
+        n_images = media.filter("modality = 'image'").count()
+        out = multimodal.resize_images(media, out_w=8, out_h=8)
+        rows = out.collect()
+        assert len(rows) == n_images > 0
+        assert all(len(r.thumb) == 8 * 8 * 3 for r in rows)
+        again = {r.media_id: r.thumb for r in multimodal.resize_images(
+            media, out_w=8, out_h=8).collect()}
+        assert all(again[r.media_id] == r.thumb for r in rows)
+        with _pytest.raises(Exception, match="NotImplementedError|imaging"):
+            multimodal.resize_images(media, fake=False).collect()
+
     def test_feature_plumbing(self, spark):
         media = multimodal.synthetic_media_table(spark, n_rows=30)
         feats = multimodal.extract_features(media)
