@@ -205,7 +205,9 @@ def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
     lo_walls, hi_walls = walls(lo_runs), walls(hi_runs)
     extra = 0
     while lo_walls[0] / (4 * hi_walls[0]) < 0.8 and extra < 2:
-        time.sleep(3 * SCALING_PAUSE_SEC)
+        # growing cool-down: burst credits refill on idle, and a short
+        # pause has been observed insufficient after a drained window
+        time.sleep((3 + 3 * extra) * SCALING_PAUSE_SEC)
         run_pair(pairs + extra)
         extra += 1
         lo_walls, hi_walls = walls(lo_runs), walls(hi_runs)
