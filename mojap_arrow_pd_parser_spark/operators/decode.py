@@ -55,7 +55,8 @@ def decode_table(
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
     key = plan.get("key")
-    if key_range is not None and key and key not in names:
+    key_added = key_range is not None and key and key not in names
+    if key_added:
         names = list(names) + [key]  # needed for the row-level filter
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
     from .encode import live_chunks, scan_sidecars
@@ -74,7 +75,11 @@ def decode_table(
                 f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
             )
         keep = live.values()
-        if key_range is not None and plan.get("key_type", "string") == "string":
+        # Prune ONLY when the plan explicitly recorded a string key:
+        # manifest key_min/key_max compare lexicographically, which is
+        # wrong for numeric keys ('9' > '100') — those decode all
+        # chunks and rely on the exact row filter below.
+        if key_range is not None and plan.get("key_type") == "string":
             lo, hi = key_range
             keep = [
                 m for m in keep
@@ -95,6 +100,8 @@ def decode_table(
     decoded = decode_rows_df(enc, out_schema, verify_checksums)
     if key_range is not None and key in [f.name for f in out_schema.fields]:
         decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
+        if key_added:  # the key was only pulled in for the filter
+            decoded = decoded.drop(key)
     return decoded
 
 

@@ -122,20 +122,22 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b).
 
     Returns integer intersection/union sizes so the result is
     float-free (oracle-hash stable); jaccard = n_inter/n_union.
 
-    ``max_shingle_df`` drops shingles whose document frequency exceeds
-    the cap BEFORE the self-join: a corpus-wide common trigram
-    otherwise contributes df^2 candidate rows (quadratic blow-up at
-    100-TB corpora). The hot-shingle list is tiny by construction, so
-    it is removed with a broadcast anti-join; Jaccard is then computed
-    over the capped shingle space (sizes recomputed after the cap,
-    keeping n_inter/n_union consistent). ``None`` disables the cap.
+    ``max_shingle_df`` (opt-in; default ``None`` = exact Jaccard) drops
+    shingles whose document frequency exceeds the cap BEFORE the
+    self-join: a corpus-wide common trigram otherwise contributes df^2
+    candidate rows (quadratic blow-up at 100-TB corpora) — pass a cap
+    (e.g. 10_000) for any large-corpus run. The capped variant is an
+    approximation: intersection/union are computed over the capped
+    shingle space (sizes recomputed after the cap so n_inter/n_union
+    stay mutually consistent). The hot-shingle list is tiny by
+    construction, so it is removed with a broadcast anti-join.
     """
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:

@@ -344,14 +344,20 @@ def encode_files(
         )
         if not files:
             raise FileNotFoundError(f"no parquet files under {input_dir}")
-        schema_json = spark.read.parquet(input_dir).schema.json()
+        schema = spark.read.parquet(input_dir).schema
         plan = {
             "version": 1,
             "mode": "file_aligned",
             "key": key,
+            # key_type gates zone-map pruning in decode_table (string
+            # keys only — manifest min/max compare lexicographically)
+            "key_type": (
+                schema[key].dataType.simpleString()
+                if key in schema.fieldNames() else None
+            ),
             "files": files,
             "n_chunks": len(files),
-            "schema_json": schema_json,
+            "schema_json": schema.json(),
         }
         fsio.write_json_atomic(plan_path, plan)
 

@@ -131,6 +131,7 @@ def make_partitioned_plan(
         "version": 1,
         "mode": "partition_salt",
         "key": key,
+        "key_type": df.schema[key].dataType.simpleString(),
         "partition_col": partition_col,
         "salts": salts,
         "offsets": offsets,
@@ -233,8 +234,16 @@ def _assign_buckets_searchsorted(
                 # cast the JSON-persisted boundaries to the key's arrow
                 # type (handles ISO-string timestamps/dates, decimals)
                 bnp = pa.array(boundaries).cast(keys.type).to_numpy(zero_copy_only=False)
+            # null keys -> bucket 0, matching the JVM fold path (null
+            # comparisons contribute otherwise(0)); searchsorted would
+            # send NaN/NaT last and crash on object arrays with None
+            valid = keys.is_valid().to_numpy(zero_copy_only=False)
             knp = keys.to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(bnp, knp, side="right").astype("int32")
+            idx = np.zeros(len(keys), dtype="int32")
+            if valid.any():
+                idx[valid] = np.searchsorted(
+                    bnp, knp[valid], side="right"
+                ).astype("int32")
             yield batch.append_column(col_name, pa.array(idx, pa.int32()))
 
     return df.mapInArrow(assign, schema=out_schema)

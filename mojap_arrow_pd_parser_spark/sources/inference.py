@@ -1,11 +1,12 @@
 """File-format inference — semantics of /root/reference/arrow_pd_parser/utils.py:49-103.
 
 Extension sniffing ignores compression suffixes (``tar gz zip gzip
-brotli snappy zst``), falls back to / cross-checks the metadata
-``file_format`` key, and raises on conflict or no information — same
-contract as the reference's ``infer_file_format`` (tests
+brotli snappy zst``) and falls back to the metadata ``file_format``
+key. On a path/metadata conflict the PATH wins with a warning; it
+raises only when neither side yields a format — same contract as the
+reference's ``infer_file_format`` (tests
 /root/reference/tests/test_utils.py:28-130: ``file.csv.gz`` -> csv,
-``SNAPPY.PARQUET`` -> parquet, conflicting meta -> error).
+``SNAPPY.PARQUET`` -> parquet, conflict -> path-derived format).
 """
 
 from __future__ import annotations

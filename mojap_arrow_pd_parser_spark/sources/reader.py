@@ -43,11 +43,18 @@ def read(
     *,
     expect_full_schema: bool = True,
     chunksize: int | str | None = None,
+    nrows: int | None = None,
     ignore_unnamed_columns: bool = False,
     conform_options: dict | None = None,
     **options,
 ) -> DataFrame:
-    """Read CSV/JSONL/Parquet (local or remote URI) and conform to metadata."""
+    """Read CSV/JSONL/Parquet (local or remote URI) and conform to metadata.
+
+    ``nrows`` limits the result to the first n rows after conform — the
+    reference passes it through to pandas (README.md:70); here it is
+    ``df.limit(n)``, which Spark pushes into the scan (LocalLimit per
+    task, no full read).
+    """
     fmt = file_format or infer_file_format(input_path, metadata)
     if fmt == CSV:
         df = _read_csv(spark, input_path, metadata, **options)
@@ -69,6 +76,8 @@ def read(
             expect_full_schema=expect_full_schema,
             **(conform_options or {}),
         )
+    if nrows is not None:
+        df = df.limit(int(nrows))
     if chunksize is not None:
         df = repartition_by_chunksize(df, chunksize)
     return df

@@ -108,6 +108,14 @@ class TestAllTypesConformance:
         df = reader.read(spark, all_types_path, metadata=meta, expect_full_schema=False)
         assert "ghost" not in df.columns
 
+    def test_nrows_limit(self, spark, all_types_path):
+        """Facade ``nrows`` passthrough (reference README.md:70 passes
+        nrows to pandas) -> df.limit(n) after conform."""
+        df = reader.read(spark, all_types_path, metadata=ALL_TYPES_META, nrows=2)
+        assert df.count() == 2
+        # schema still fully conformed
+        assert dict(df.dtypes)["my_int"] == "bigint"
+
     def test_drop_and_ignore(self, spark, all_types_path):
         df = reader.read(
             spark, all_types_path, metadata=ALL_TYPES_META,

@@ -77,6 +77,36 @@ def test_range_pruned_decode_skips_chunks(spark, src, tmp_path):
     assert decode_table(spark, out, key_range=("zzz", "zzzz")).count() == 0
 
 
+def test_key_range_does_not_leak_key_column(spark, src, tmp_path):
+    """columns= excluding the sort key + key_range: the key is pulled
+    in only for the row filter and must NOT appear in the result."""
+    out = str(tmp_path / "enc")
+    encode_table(spark, src, out, key="doc_id", n_chunks=4)
+    ids = sorted(r.doc_id for r in src.select("doc_id").collect())
+    lo, hi = ids[10], ids[100]
+    dec = decode_table(spark, out, columns=["n_tok"], key_range=(lo, hi))
+    assert dec.columns == ["n_tok"]
+    assert dec.count() == 91
+
+
+def test_numeric_key_range_never_prunes_lexicographically(spark, tmp_path):
+    """Zone-map pruning is string-keys-only: a numeric key whose
+    stringified min/max would compare wrongly ('1999' < '9') must fall
+    back to decode-all + exact row filter, not silently drop chunks."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "enc_numkey")
+    df = spark.range(1, 3001).select(
+        F.col("id"), (F.col("id") * 3).alias("val")
+    )
+    encode_table(spark, df, out, key="id", n_chunks=8)
+    assert load_plan(out)["key_type"] == "bigint"
+    dec = decode_table(spark, out, key_range=(9, 2000))
+    # lexicographic pruning would drop the chunks holding 1000..1999
+    assert dec.count() == 1992
+    assert dec.agg(F.sum("val")).collect()[0][0] == sum(3 * k for k in range(9, 2001))
+
+
 def test_compact_chunks_merges_and_roundtrips(spark, src, tmp_path):
     """OPTIMIZE action: small chunks merge into full-size ones with
     Iceberg-style replace semantics; round-trip unaffected."""

@@ -105,6 +105,38 @@ class TestJoinStrategies:
         assert "99990" not in plan
         assert wall < 30  # flat per-row cost (the fold would be ~O(rows*cuts))
 
+    def test_bucket_assign_null_keys_match_fold(self, spark):
+        """Null keys -> bucket 0 on BOTH assignment paths: the JVM fold
+        gives otherwise(0); the searchsorted path must match instead of
+        sending NaN last / crashing on object arrays with None."""
+        from mojap_arrow_pd_parser_spark.plans import chunking
+
+        rows = [("a",), (None,), ("m",), (None,), ("z",)]
+        df = spark.createDataFrame(rows, "k string")
+        small = {"key": "k", "key_type": "string",
+                 "boundaries": ["g", "t"], "n_chunks": 3}
+        # >128 boundaries forces the Arrow searchsorted path
+        big_bounds = sorted({f"c{i:04d}" for i in range(200)} | {"g", "t"})
+        big = {"key": "k", "key_type": "string",
+               "boundaries": big_bounds, "n_chunks": len(big_bounds) + 1}
+        sm = chunking.assign_buckets(df, small).collect()
+        bg = chunking.assign_buckets(df, big).collect()
+        assert all(r._bucket == 0 for r in sm if r.k is None)
+        assert all(r._bucket == 0 for r in bg if r.k is None)
+        # non-null rows still bucket by searchsorted(side=right)
+        import bisect
+
+        for r in bg:
+            if r.k is not None:
+                assert r._bucket == bisect.bisect_right(big_bounds, r.k)
+        # numeric nulls too (NaN path)
+        nrows = [(1,), (None,), (500,)]
+        ndf = spark.createDataFrame(nrows, "k bigint")
+        nbig = {"key": "k", "key_type": "bigint",
+                "boundaries": list(range(0, 1000, 4)), "n_chunks": 251}
+        nb = chunking.assign_buckets(ndf, nbig).collect()
+        assert {r.k: r._bucket for r in nb}[None] == 0
+
     def test_bucket_assign_small_plan_uses_fold_large_uses_arrow(self, spark):
         from mojap_arrow_pd_parser_spark.plans import chunking
 
