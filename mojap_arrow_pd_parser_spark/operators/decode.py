@@ -132,19 +132,13 @@ def decode_rows_df(
         return pa.Table.from_arrays(arrays, names=arrow_schema_names)
 
     def decode_partition(batches):
-        """Chunk files are single row groups, so a scan partition holds
-        whole chunks — regroup by chunk_id in-worker (no shuffle at all
-        on the decode path)."""
-        import pyarrow.compute as pc
+        """Chunk files are single row groups, so batches arrive
+        chunk-contiguous — stream-decode one chunk at a time (peak
+        working set ~1 chunk, no shuffle at all on the decode path)."""
+        from .regroup import iter_contiguous_groups
 
-        collected = [b for b in batches if b.num_rows]
-        if not collected:
-            return
-        table = pa.Table.from_batches(collected)
-        ids = table.column("chunk_id").combine_chunks()
-        for cid in sorted(set(ids.to_pylist())):
-            out = decode_chunk(table.filter(pc.equal(ids, cid)))
-            yield from out.to_batches()
+        for _cid, table in iter_contiguous_groups(batches, "chunk_id"):
+            yield from decode_chunk(table).to_batches()
 
     return enc.mapInArrow(decode_partition, schema=out_schema)
 

@@ -36,7 +36,6 @@ import time
 import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -252,20 +251,18 @@ def encode_table(
     manifest_dir = fsio.join(out_dir, "manifest")
 
     def encode_partition(batches):
-        """mapInArrow task body: regroup the partition's batches by
-        bucket id in-worker (a hash-repartitioned partition holds only
-        a few buckets), encode and commit each chunk.
+        """mapInArrow task body: batches arrive bucket-contiguous (the
+        shuffle is followed by sortWithinPartitions on the bucket id,
+        whose external sort spills to disk), so each chunk is
+        assembled, encoded and committed as soon as its last batch
+        streams in — peak working set ~1 chunk, not the partition.
 
-        mapInArrow is used instead of groupBy().applyInArrow because it
-        skips the per-partition sort the grouped variant inserts — the
-        shuffle already co-located each bucket."""
-        collected = [b for b in batches if b.num_rows]
-        if not collected:
-            return
-        table = pa.Table.from_batches(collected)
-        buckets = table.column("_bucket").combine_chunks()
-        for chunk_id in sorted(set(buckets.to_pylist())):
-            part = table.filter(pc.equal(buckets, chunk_id))
+        mapInArrow is used instead of groupBy().applyInArrow because
+        the latter materializes each group whole through the grouped
+        Arrow path; here the group boundary is under our control."""
+        from .regroup import iter_contiguous_groups
+
+        for chunk_id, part in iter_contiguous_groups(batches, "_bucket"):
             part = part.drop_columns(["_bucket"])
             enc, manifest = encode_chunk_table(part, int(chunk_id), key)
             fname = f"chunk-{int(chunk_id):05d}.parquet"
@@ -280,8 +277,10 @@ def encode_table(
             manifest.pop("file_bytes")
             yield _manifest_batch(manifest).to_batches()[0]
 
-    mdf = bdf.repartition(plan["n_chunks"], "_bucket").mapInArrow(
-        encode_partition, schema=MANIFEST_SCHEMA
+    mdf = (
+        bdf.repartition(plan["n_chunks"], "_bucket")
+        .sortWithinPartitions("_bucket")
+        .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
     )
     return _finish_encode(spark, mdf, out_dir, consolidate)
 
