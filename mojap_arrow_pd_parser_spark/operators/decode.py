@@ -66,7 +66,7 @@ def decode_table(
     # prunes via the per-chunk zone map. A LIVE sidecar whose chunk
     # file is missing or size-mismatched is table damage — fail loudly
     # instead of silently returning fewer rows.
-    live = live_chunks(scan_sidecars(out_dir))
+    live = live_chunks(scan_sidecars(out_dir, spark))
     if live:
         bad = [cid for cid, m in live.items() if not m["_verified"]]
         if bad:
@@ -203,12 +203,12 @@ def verify_roundtrip(
     return result
 
 
-def encoded_size_report(out_dir: str) -> dict:
+def encoded_size_report(out_dir: str, spark: SparkSession | None = None) -> dict:
     """Total on-disk encoded bytes (LIVE chunk files) for the
     <=parquet bound; falls back to a directory sum without sidecars."""
     from .encode import live_chunks, scan_done_chunks
 
-    live = live_chunks(scan_done_chunks(out_dir))
+    live = live_chunks(scan_done_chunks(out_dir, spark))
     if live:
         return {"encoded_bytes": sum(m["file_bytes"] for m in live.values())}
     total = sum(

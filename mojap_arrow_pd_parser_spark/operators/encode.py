@@ -154,7 +154,7 @@ def _manifest_batch(m: dict) -> pa.Table:
     )
 
 
-def scan_done_chunks(out_dir: str) -> dict[int, dict]:
+def scan_done_chunks(out_dir: str, spark: SparkSession | None = None) -> dict[int, dict]:
     """Read manifest sidecars; keep only entries whose chunk file verifies.
 
     Returns the RAW sidecar view, including compacted chunks and the
@@ -166,19 +166,44 @@ def scan_done_chunks(out_dir: str) -> dict[int, dict]:
     """
     return {
         cid: {k: v for k, v in m.items() if k != "_verified"}
-        for cid, m in scan_sidecars(out_dir).items()
+        for cid, m in scan_sidecars(out_dir, spark).items()
         if m["_verified"]
     }
 
 
-def scan_sidecars(out_dir: str) -> dict[int, dict]:
+#: one row per sidecar JSON (schema fixed -> no inference pass)
+SIDECAR_DF_SCHEMA = (
+    "chunk_id int, n_rows bigint, n_cols int, in_bytes bigint, "
+    "out_bytes bigint, codecs string, crc32 string, key_min string, "
+    "key_max string, wall_ms bigint, file string, status string, "
+    "file_bytes bigint, replaces array<bigint>"
+)
+
+#: below this many sidecars the serial loop wins (no job overhead);
+#: above it, O(chunks) driver round trips would dominate — a 100-TB
+#: table at 256 MB chunks has ~400k sidecars
+_DISTRIBUTED_SCAN_MIN = 256
+
+
+def scan_sidecars(out_dir: str, spark: SparkSession | None = None) -> dict[int, dict]:
     """All parseable sidecars with a ``_verified`` flag (chunk file
     present at the recorded size). Readers use this to tell a DAMAGED
-    table (sidecar present, file wrong) from an absent one."""
+    table (sidecar present, file wrong) from an absent one.
+
+    With a ``spark`` handle and enough sidecars, the scan is
+    DISTRIBUTED (the Iceberg manifest-list move): one
+    ``spark.read.json`` over the sidecar directory replaces O(chunks)
+    serial driver round trips, and file verification uses ONE paged
+    directory listing of ``chunks/`` instead of O(chunks) stat calls.
+    """
+    names = [
+        fn for fn, _sz in fsio.list_files(fsio.join(out_dir, "manifest"))
+        if fn.endswith(".json")
+    ]
+    if spark is not None and len(names) >= _DISTRIBUTED_SCAN_MIN:
+        return _scan_sidecars_distributed(spark, out_dir)
     out: dict[int, dict] = {}
-    for fn, _size in fsio.list_files(fsio.join(out_dir, "manifest")):
-        if not fn.endswith(".json"):
-            continue
+    for fn in names:
         try:
             m = fsio.read_json(fsio.join(out_dir, "manifest", fn))
             m["_verified"] = (
@@ -188,6 +213,29 @@ def scan_sidecars(out_dir: str) -> dict[int, dict]:
             out[int(m["chunk_id"])] = m
         except (json.JSONDecodeError, KeyError, OSError):
             continue  # partial sidecar from a killed run -> re-encode
+    return out
+
+
+def _scan_sidecars_distributed(spark: SparkSession, out_dir: str) -> dict[int, dict]:
+    """Sidecar scan as one distributed JSON read + one chunk-dir
+    listing. PERMISSIVE mode turns a partial sidecar from a killed run
+    into an all-null row, which is dropped — the same skip the serial
+    loop applies on JSONDecodeError."""
+    sdf = (
+        spark.read.schema(SIDECAR_DF_SCHEMA)
+        .json(fsio.join(out_dir, "manifest"))
+        .filter(F.col("chunk_id").isNotNull() & F.col("file").isNotNull())
+    )
+    sizes = dict(fsio.list_files(fsio.join(out_dir, "chunks")))
+    out: dict[int, dict] = {}
+    for row in sdf.collect():
+        m = row.asDict()
+        if m.get("replaces") is None:
+            m.pop("replaces", None)  # serial dicts omit the key entirely
+        else:
+            m["replaces"] = [int(r) for r in m["replaces"]]
+        m["_verified"] = sizes.get(m["file"]) == m["file_bytes"]
+        out[int(m["chunk_id"])] = m
     return out
 
 
@@ -243,7 +291,7 @@ def encode_table(
 
     bdf = assign_buckets(df, plan)
     if resume:
-        done = sorted(done_chunk_ids(scan_done_chunks(out_dir)))
+        done = sorted(done_chunk_ids(scan_done_chunks(out_dir, spark)))
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
@@ -292,7 +340,7 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
     # Consolidate ALL LIVE verified sidecars (this run + survivors of
     # killed runs, minus compaction-superseded chunks) into one
     # queryable manifest table.
-    done = live_chunks(scan_done_chunks(out_dir))
+    done = live_chunks(scan_done_chunks(out_dir, spark))
     rows = []
     for m in done.values():
         m = dict(m)
@@ -362,7 +410,7 @@ def encode_files(
 
     todo = list(enumerate(plan["files"]))
     if resume:
-        done = done_chunk_ids(scan_done_chunks(out_dir))
+        done = done_chunk_ids(scan_done_chunks(out_dir, spark))
         todo = [(i, f) for i, f in todo if i not in done]
 
     chunks_dir = fsio.join(out_dir, "chunks")
@@ -428,7 +476,7 @@ def compact_chunks(
     """
     from ..functions.codecs import decode_array  # noqa: F401 (worker import check)
 
-    done = scan_done_chunks(out_dir)
+    done = scan_done_chunks(out_dir, spark)
     live = live_chunks(done)
     target_rows = target_rows or max(1, 4 * min_rows)
     small = sorted(
@@ -505,15 +553,15 @@ def compact_chunks(
     mdf = wdf.mapInArrow(merge_group, schema=MANIFEST_SCHEMA)
     result = _finish_encode(spark, mdf, out_dir, consolidate)
     if gc:
-        gc_superseded(out_dir)
+        gc_superseded(out_dir, spark)
     return result
 
 
-def gc_superseded(out_dir: str) -> int:
+def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     """Delete sidecars+files of chunks superseded by verified
     compacted chunks. Pure garbage collection: the read view already
     excludes them, so this is idempotent and crash-safe to re-run."""
-    done = scan_done_chunks(out_dir)
+    done = scan_done_chunks(out_dir, spark)
     live = live_chunks(done)
     removed = 0
     for cid, m in done.items():
