@@ -92,24 +92,52 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup mining at scale: bucket by random-hyperplane
     signature, compare ONLY within buckets (the O(N^2) cross-join of
     :func:`pairwise_neardups` becomes an equi-join on bucket id whose
     cost is sum of bucket sizes squared — tunable via n_planes), then
     exact cosine filter. Misses pairs split across buckets; recall is
-    raised by lowering n_planes (or unioning a second seed's pass)."""
+    raised by lowering n_planes (or unioning a second seed's pass).
+
+    ``max_bucket_size`` (opt-in) guards against degenerate hot buckets
+    — a near-duplicate-heavy corpus at low n_planes can put size^2
+    candidate rows in one bucket (the same failure class as the
+    hot-shingle cap in dedup.ngram_jaccard_pairs). Buckets over the
+    cap are RE-SPLIT into ceil(size/cap) sub-buckets by a secondary
+    id hash, bounding candidates at ~cap per row while still finding
+    the within-sub-bucket pairs; pairs split across sub-buckets are
+    missed (approximation, documented — exact when ``None``)."""
     b = rp_lsh_buckets(df, dim, n_planes, seed, vec_col, id_col)
+    join_on_sub = False
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+        )
+        # hot-bucket list is tiny by construction -> broadcast join
+        b = b.join(F.broadcast(hot), "bucket", "left")
+        n_sub = F.ceil(F.col("_n") / F.lit(max_bucket_size))
+        b = b.withColumn(
+            "_sub",
+            F.when(F.col("_n").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), n_sub)
+            ).cast("int"),
+        ).drop("_n")
+        join_on_sub = True
     x, y = b.alias("x"), b.alias("y")
     cos = _dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")) / (
         _norm(F.col(f"x.{vec_col}")) * _norm(F.col(f"y.{vec_col}"))
     )
+    cond = (F.col("x.bucket") == F.col("y.bucket")) & (
+        F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+    )
+    if join_on_sub:
+        cond = cond & (F.col("x._sub") == F.col("y._sub"))
     return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
+        x.join(y, cond)
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
@@ -143,16 +171,35 @@ def ivf_fit_centroids(
     return np.array(model.clusterCenters(), dtype=np.float64)
 
 
+#: beyond this many centroids the expression path's O(k) literal
+#: arrays + when-chain bloat the plan (megabytes at real IVF k>=4096);
+#: assignment switches to a broadcast-centroid vectorized pandas UDF
+IVF_EXPR_MAX_K = 32
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_expr_k: int = IVF_EXPR_MAX_K,
 ) -> DataFrame:
-    """Nearest-centroid list id per vector, as a pure JVM expression:
-    ||v-c||^2 = v.v - 2 v.c + c.c per centroid, argmin with ties to
-    the LOWEST cid (the exact formula the SQL oracle replicates —
-    sequential-fold dots on both engines, no BLAS reassociation)."""
+    """Nearest-centroid list id per vector: argmin ||v-c||^2 with ties
+    to the LOWEST cid.
+
+    Two physical strategies, same semantics:
+
+    * k <= ``max_expr_k``: pure JVM expression — v.v - 2 v.c + c.c per
+      centroid via sequential-fold dots (the exact formula the SQL
+      oracle replicates, no BLAS reassociation);
+    * k > ``max_expr_k``: vectorized pandas UDF whose (k, dim) float64
+      centroid matrix ships in the task closure (one broadcast per
+      executor — plan size stays FLAT in k, and the per-batch cost is
+      one matmul instead of a k-deep when-chain). np.argmin's
+      first-minimum rule gives the same lowest-cid tie-break.
+    """
+    if len(centroids) > max_expr_k:
+        return _ivf_assign_broadcast(df, centroids, vec_col, id_col)
     vv = _dot(F.col(vec_col), F.col(vec_col))
     dists = []
     for c in centroids:
@@ -164,6 +211,30 @@ def ivf_assign(
     for cid in range(1, len(dists)):
         assign = assign.when(dists[cid] == m, cid)
     return df.select(F.col(id_col), F.col(vec_col), assign.alias("list_id"))
+
+
+def _ivf_assign_broadcast(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Large-k assignment: centroids ride the task-binary broadcast
+    into an Arrow-batched pandas UDF (the ``rp_lsh_buckets`` shape).
+    Per row: argmin_c(-2 v.c + c.c) — dropping the row-constant v.v
+    term does not change the argmin."""
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    cc = (cent * cent).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        d = cc - 2.0 * (mat @ cent.T)  # (batch, k)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id")
+    )
 
 
 def ivf_search(

@@ -162,6 +162,67 @@ class TestSimilarity:
         assert lsh <= exact  # no false pairs (exact re-check in-bucket)
         assert len(lsh & exact) / max(1, len(exact)) >= 0.7  # recall
 
+    def test_lsh_hot_bucket_cap_bounds_candidates(self, spark):
+        """A degenerate bucket (all vectors identical direction) gives
+        size^2 candidates; max_bucket_size re-splits it so each sub
+        bucket is bounded, with only within-sub pairs surviving."""
+        rng = np.random.Generator(np.random.Philox(key=[33, 0]))
+        base = rng.standard_normal(16)
+        rows = []
+        for i in range(120):  # all near-identical -> one hot bucket
+            v = base + 0.001 * rng.standard_normal(16)
+            rows.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        full = similarity.lsh_neardup_pairs(
+            df, dim=16, threshold=0.99, n_planes=4
+        ).count()
+        assert full == 120 * 119 // 2  # uncapped: the quadratic blow-up
+        capped_df = similarity.lsh_neardup_pairs(
+            df, dim=16, threshold=0.99, n_planes=4, max_bucket_size=20
+        )
+        capped = capped_df.count()
+        # ceil(120/20)=6 sub-buckets of ~20 -> ~6*C(20,2)=1140 pairs
+        assert 0 < capped < full / 3
+        # capped pairs are a SUBSET of real pairs (re-split never invents)
+        pairs = {(r.id_a, r.id_b) for r in capped_df.collect()}
+        assert all(a < b for a, b in pairs)
+
+    def test_ivf_assign_broadcast_matches_expression(self, spark):
+        """k=256, dim=64: the broadcast-UDF assignment matches the JVM
+        expression path row-for-row and keeps the plan size FLAT (no
+        centroid literals in the plan)."""
+        rng = np.random.Generator(np.random.Philox(key=[55, 0]))
+        cent = rng.standard_normal((256, 64))
+        rows = [
+            (i, rng.standard_normal(64).astype(np.float32).tolist())
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        udf_df = similarity.ivf_assign(df, cent)  # k>32 -> broadcast path
+        got = {r.vec_id: r.list_id for r in udf_df.collect()}
+        # numpy oracle with the exact same argmin/tie rule
+        pdf = df.toPandas()
+        mat = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        expect = dict(zip(pdf.vec_id.tolist(), np.argmin(d, axis=1).tolist()))
+        assert got == expect
+        # expression path agrees on a small-k slice of the same centroids
+        small = cent[:8]
+        expr = {
+            r.vec_id: r.list_id
+            for r in similarity.ivf_assign(df, small, max_expr_k=32).collect()
+        }
+        udf = {
+            r.vec_id: r.list_id
+            for r in similarity.ivf_assign(df, small, max_expr_k=0).collect()
+        }
+        assert expr == udf
+        # plan stays flat: no centroid literal leaks into the query plan
+        plan = udf_df._jdf.queryExecution().toString()
+        marker = f"{cent[0][0]:.6f}"[:8]
+        assert marker not in plan
+        assert len(plan) < 20_000
+
     def test_ivf_search_recall(self, spark, emb):
         """IVF: coarse k-means quantizer + nprobe lists + exact rerank;
         candidates shrink (pruned scan) while recall stays usable, and
