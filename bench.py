@@ -164,6 +164,22 @@ def child_encode(cores: int, repeats: int = 2) -> dict:
     raise RuntimeError(f"child encode at {cores} cores failed: {out.stderr[-2000:]}")
 
 
+# Throttle detector bounds for the scaling self-heal (calibrated on
+# this host: unthrottled hi-side minima land 10.8-13.4 s and lo-side
+# 41-45 s across idle-window rehearsals; a whole-side minimum above
+# these bounds means the hypervisor was rationing burst credits for
+# that side's entire window). The retry trigger is these ABSOLUTE
+# walls — deliberately independent of the reported efficiency target,
+# so resampling cannot condition on (and bias) the headline: a
+# throttled LO side (which would inflate efficiency in our favor)
+# retries exactly like a throttled HI side. Bounds are calibrated for
+# the sf0.1-sized scaling job (479M tokens) and scale linearly with
+# the job size for other sf.
+HI_WALL_THROTTLED_SEC = 15.0
+LO_WALL_THROTTLED_SEC = 52.0
+_CALIBRATED_SF = 0.1
+
+
 def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
     """N->4N scaling evidence, protocol hardened against the host's
     burst-credit throttling (BENCH/BASELINE.md):
@@ -172,11 +188,14 @@ def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
     * alternating start side per pair (lo-first, then hi-first) so a
       slow host phase cannot systematically penalize one side;
     * each child warms up on a small job, then measures ``repeats``
-      passes of the 4x job -> min AND median of all recorded walls.
+      passes of the 4x job.
 
-    Efficiency (headline) = min_lo / (4 * min_hi): the fastest observed
-    run per side is the closest to unthrottled hardware; median +
-    spread are reported alongside so the artifact shows the variance.
+    Efficiency (headline) = median_lo / (4 * median_hi) over ALL
+    recorded walls: on a host whose throttle swings individual windows
+    2-3x, the median of >=8 walls per side is the robust estimator;
+    the min-pair estimate and the pre-retry fixed-pair estimate are
+    reported alongside, with every raw wall, so the artifact shows the
+    full distribution and how each estimator would have read it.
     """
     lo_runs, hi_runs = [], []
 
@@ -193,28 +212,30 @@ def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
     def walls(side):
         return sorted(w for r in side for w in r["walls"])
 
-    # Throttle self-heal: if the measured efficiency misses the 0.8
-    # target, the measurement window is suspect — the host throttles
-    # bursts both noisily (visible spread) and UNIFORMLY (a whole side
-    # slow with tight spread, indistinguishable from bad scaling by
-    # spread alone; observed hi-side minima drift 10.8-15.4 s across
-    # otherwise idle windows). Take up to two more alternated pairs
-    # after extended cool-downs. The estimator never changes (min over
-    # ALL recorded walls, every wall reported) — this only adds
-    # samples, bounded at +2 pairs.
-    lo_walls, hi_walls = walls(lo_runs), walls(hi_runs)
+    def med(xs):
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    # Fixed-pair estimate BEFORE any self-heal resampling (reported so
+    # the selected-on-nothing number is always visible in the artifact)
+    fixed_lo, fixed_hi = walls(lo_runs), walls(hi_runs)
+    eff_fixed = round(med(fixed_lo) / (4 * med(fixed_hi)), 3)
+
+    # Throttle self-heal: retry (bounded, +2 pairs max, growing
+    # cool-downs — credits refill on idle) when EITHER side's best
+    # wall exceeds its calibrated unthrottled bound. The trigger is
+    # absolute wall time, not the efficiency target (see bound
+    # comments above) — a stopping rule independent of the headline.
+    bound_scale = sf_of(SF_DIR) / _CALIBRATED_SF
+    hi_bound = HI_WALL_THROTTLED_SEC * bound_scale
+    lo_bound = LO_WALL_THROTTLED_SEC * bound_scale
+    lo_walls, hi_walls = fixed_lo, fixed_hi
     extra = 0
-    while lo_walls[0] / (4 * hi_walls[0]) < 0.8 and extra < 2:
-        # growing cool-down: burst credits refill on idle, and a short
-        # pause has been observed insufficient after a drained window
+    while (hi_walls[0] > hi_bound or lo_walls[0] > lo_bound) and extra < 2:
         time.sleep((3 + 3 * extra) * SCALING_PAUSE_SEC)
         run_pair(pairs + extra)
         extra += 1
         lo_walls, hi_walls = walls(lo_runs), walls(hi_runs)
-
-    def med(xs):
-        n = len(xs)
-        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
     tokens = lo_runs[0]["tokens"]
     return {
@@ -227,10 +248,13 @@ def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
         "wall_lo_median_sec": round(med(lo_walls), 3),
         "wall_hi_median_sec": round(med(hi_walls), 3),
         "tokens": tokens,
-        "tokens_per_sec_lo": round(tokens / lo_walls[0]),
-        "tokens_per_sec_hi": round(tokens / hi_walls[0]),
-        "efficiency_n_to_4n": round(lo_walls[0] / (4 * hi_walls[0]), 3),
-        "efficiency_median": round(med(lo_walls) / (4 * med(hi_walls)), 3),
+        "tokens_per_sec_lo": round(tokens / med(lo_walls)),
+        "tokens_per_sec_hi": round(tokens / med(hi_walls)),
+        "estimator": "median_lo / (4 * median_hi) over all recorded walls",
+        "efficiency_n_to_4n": round(med(lo_walls) / (4 * med(hi_walls)), 3),
+        "efficiency_min_pair": round(lo_walls[0] / (4 * hi_walls[0]), 3),
+        "efficiency_fixed_pairs": eff_fixed,
+        "extra_pairs": extra,
     }
 
 
@@ -271,18 +295,19 @@ def main() -> None:
     src = prepare_source(spark, sf)
     prepare_source(spark, sf, n_docs=bench_docs(sf) * SCALING_MULT)
 
-    # --- scaling evidence FIRST (the host throttles CPU bursts under
-    # sustained load; fresh burst credits + alternating lo/hi children
-    # keep the two sides comparable despite host phases) ----------------
-    scaling = measure_scaling(pairs=2, repeats=2)
-
-    # --- encode + verify at full parallelism ------------------------------
+    # --- encode + verify + decode + queries FIRST, on fresh burst
+    # credits: these are ABSOLUTE throughput numbers, so they must not
+    # land in the credit hole the 4x-size scaling children dig (round-2
+    # artifact recorded verify at 27 s that way vs 3-5 s warm). The
+    # scaling phase runs LAST: it reports a lo/hi RATIO with its own
+    # per-child fresh-credit pauses and a throttle-triggered resample,
+    # so it tolerates a drained starting window far better. -----------
     out = f"/tmp/bench_enc_{CPUS}"
     shutil.rmtree(out, ignore_errors=True)
     enc = run_encode(spark, src, out, n_chunks=64)
     verify_walls = []
-    for _ in range(2):  # min-of-2: the pass lands right after the
-        t0 = time.monotonic()  # credit-draining scaling phase
+    for _ in range(2):  # min-of-2 warm
+        t0 = time.monotonic()
         vr = verify_roundtrip(spark, spark.read.parquet(src), out)
         verify_walls.append(time.monotonic() - t0)
     verify_wall = round(min(verify_walls), 3)
@@ -322,6 +347,27 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
         qtimes[name] = round(min(runs), 3)
+
+    # PRODUCTION MinHash variant: q12 times the md5 oracle-portable
+    # base hash; the shipped default is the pure-JVM xxhash64 family —
+    # record that wall too so the artifact shows the prod number.
+    from mojap_arrow_pd_parser_spark.operators import dedup as _dedup
+    from mojap_arrow_pd_parser_spark.queries import _duplicated_docs
+
+    corpus = _duplicated_docs(spark, SF_DIR, near=True)
+    runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        _dedup.minhash_lsh_candidates(
+            corpus, "text", "doc_id", n_hashes=8, bands=4, shingle_n=3,
+            base_hash="xxhash64",
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(time.monotonic() - t0)
+    qtimes["q12_minhash_lsh_xxhash64"] = round(min(runs), 3)
+
+    # --- scaling evidence LAST (ratio measurement; each child gets its
+    # own fresh-credit pause + throttle-triggered resample) -------------
+    scaling = measure_scaling(pairs=2, repeats=2)
     spark.stop()
 
     total = round(time.monotonic() - t_total0, 3)
