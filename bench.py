@@ -62,12 +62,14 @@ def bench_docs(sf: float) -> int:
     return max(2000, int(2_000_000 * sf))  # sf0.1 -> 200k docs (~100M tokens)
 
 
-# Scaling children run a 4x-size job: the N->4N efficiency measurement
+# Scaling children run an 8x-size job: the N->4N efficiency measurement
 # needs enough parallel work to amortize per-job fixed costs (driver
-# scheduling, plan load, sidecar scan), same as a real cluster job
-# would — at 2x, ~2s of fixed cost on a ~10s hi-side wall caps the
-# measurable efficiency near 0.75 before the host throttle even bites.
-SCALING_MULT = 4
+# scheduling, plan load, python-worker task setup ~15-20ms/task), same
+# as a real cluster job would — at 2x, ~2s of fixed cost on a ~10s
+# hi-side wall caps the measurable efficiency near 0.75 before the
+# host throttle even bites; at 8x the hi wall is ~19-22s unthrottled
+# and fixed costs are <5%.
+SCALING_MULT = 8
 
 # Idle pause before each scaling child: the hypervisor refills CPU
 # burst credits when the VM idles (BENCH/BASELINE.md); without it the
@@ -173,26 +175,31 @@ def child_encode(cores: int, repeats: int = 2) -> dict:
 # so resampling cannot condition on (and bias) the headline: a
 # throttled LO side (which would inflate efficiency in our favor)
 # retries exactly like a throttled HI side. Bounds are calibrated for
-# the sf0.1-sized scaling job (479M tokens) and scale linearly with
-# the job size for other sf.
-HI_WALL_THROTTLED_SEC = 15.0
-LO_WALL_THROTTLED_SEC = 52.0
+# the sf0.1 8x scaling job (960M tokens: unthrottled hi-side walls
+# ~19-22 s, lo-side ~73-76 s measured on idle windows) and scale
+# linearly with the job size for other sf.
+HI_WALL_THROTTLED_SEC = 24.0
+LO_WALL_THROTTLED_SEC = 85.0
 _CALIBRATED_SF = 0.1
 
 
-def measure_scaling(pairs: int = 2, repeats: int = 2) -> dict:
+def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
     """N->4N scaling evidence, protocol hardened against the host's
     burst-credit throttling (BENCH/BASELINE.md):
 
     * fresh-credit idle pause before every child;
     * alternating start side per pair (lo-first, then hi-first) so a
       slow host phase cannot systematically penalize one side;
-    * each child warms up on a small job, then measures ``repeats``
-      passes of the 4x job.
+    * each child warms up on a small job, then measures ONE pass of
+      the 8x job — burst credits drain DURING a child, so a second
+      measured pass inside the same child systematically lands
+      throttled (observed hi-side pass pairs like 19.0 s then 36.0 s);
+      one burst-fresh pass per child, across more pairs, gives every
+      recorded wall the same credit treatment on both sides.
 
     Efficiency (headline) = median_lo / (4 * median_hi) over ALL
     recorded walls: on a host whose throttle swings individual windows
-    2-3x, the median of >=8 walls per side is the robust estimator;
+    2-3x, the median of the per-side samples is the robust estimator;
     the min-pair estimate and the pre-retry fixed-pair estimate are
     reported alongside, with every raw wall, so the artifact shows the
     full distribution and how each estimator would have read it.
@@ -266,11 +273,12 @@ def main_encode_only(cores: int, repeats: int = 2) -> None:
     small = prepare_source(spark, sf, n_docs=bench_docs(sf))
     src = prepare_source(spark, sf, n_docs=bench_docs(sf) * SCALING_MULT)
     # cheap warm-up on the 1x source (JVM, codegen, python workers),
-    # then measured passes on the 4x source with no further warm-up
+    # then measured passes on the 8x source with no further warm-up.
+    # n_chunks scales with the source so chunk size stays ~7.5M tokens.
     run_encode(spark, small, f"/tmp/bench_warm_{cores}", n_chunks=16, repeats=0, warmup=1)
     out = f"/tmp/bench_enc_{cores}"
     shutil.rmtree(out, ignore_errors=True)
-    r = run_encode(spark, src, out, n_chunks=64, repeats=repeats, warmup=0)
+    r = run_encode(spark, src, out, n_chunks=16 * SCALING_MULT, repeats=repeats, warmup=0)
     print(json.dumps(r))
     spark.stop()
 
@@ -305,6 +313,7 @@ def main() -> None:
     out = f"/tmp/bench_enc_{CPUS}"
     shutil.rmtree(out, ignore_errors=True)
     enc = run_encode(spark, src, out, n_chunks=64)
+    time.sleep(2 * SCALING_PAUSE_SEC)  # refill credits the encode passes drained
     verify_walls = []
     for _ in range(2):  # min-of-2 warm
         t0 = time.monotonic()
@@ -337,6 +346,7 @@ def main() -> None:
     fa_wall = round(min(fa_walls), 3)
 
     # --- query suite -------------------------------------------------------
+    time.sleep(2 * SCALING_PAUSE_SEC)  # fresh credits for the query walls
     qtimes = {}
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
@@ -367,7 +377,7 @@ def main() -> None:
 
     # --- scaling evidence LAST (ratio measurement; each child gets its
     # own fresh-credit pause + throttle-triggered resample) -------------
-    scaling = measure_scaling(pairs=2, repeats=2)
+    scaling = measure_scaling()
     spark.stop()
 
     total = round(time.monotonic() - t_total0, 3)
