@@ -292,3 +292,38 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         for i in range(63, -1, -1)
     ]
     return agg.select("id", F.concat(*chars).alias("simhash_bits"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination report: for each eval document, how many
+    of its distinct word n-grams appear anywhere in the training
+    corpus (the standard n-gram-overlap decontamination check run
+    before training on scraped data).
+
+    Returns (eval_id, n_shingles, n_contaminated); the contamination
+    ratio is n_contaminated/n_shingles. Dataflow: distinct shingles on
+    both sides (train side deduped corpus-wide, so the join probe is
+    the distinct-shingle set, not the corpus), one equi-join on the
+    shingle + one count aggregate — at scale this is a semi-join
+    against a shingle dictionary, no O(train x eval) pairing. A LEFT
+    join keeps eval docs with zero overlap in the report.
+    """
+    ev = word_shingles(eval_df, text_col, id_col, n).withColumnRenamed(
+        "id", "eval_id"
+    )
+    tr = word_shingles(train, text_col, id_col, n).select("shingle").distinct()
+    hit = tr.withColumn("_hit", F.lit(1))
+    return (
+        ev.join(hit, "shingle", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )

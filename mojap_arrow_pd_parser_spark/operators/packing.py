@@ -1,0 +1,171 @@
+"""Training-sequence packing + token statistics over the tokens table.
+
+The standard LLM pretraining dataloader concatenates the token stream
+in a deterministic document order and splits it into fixed-length
+training sequences (documents straddle sequence boundaries). These
+operators produce that packed view — and corpus-level token
+statistics — as pure DataFrame programs.
+
+Scale notes (the part worth engineering):
+
+* The global token offset of each document is NOT computed with a
+  global ``Window.orderBy`` (which Spark executes as a sort into one
+  reducer — a single-task bottleneck at 100 TB). Instead the engine's
+  deterministic range-bucket planner assigns each doc a bucket, the
+  per-bucket token totals (one tiny aggregate, ``n_buckets`` rows)
+  become a driver-side prefix map embedded as a literal lookup, and
+  the within-bucket offset is a window partitioned BY bucket —
+  distributed on every side.
+* No token is ever exploded on the Spark side: each document
+  contributes at most ``spanned sequences`` array slices (JVM
+  ``slice``/``sequence`` expressions), and sequences are assembled
+  with one hash shuffle on ``seq_id``.
+* ``token_vocab`` does explode, but that is the canonical shape for a
+  vocabulary histogram — partial aggregation (map-side combine) makes
+  it one narrow shuffle of (token, count) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def doc_offsets(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Global token-stream offset per document (exclusive prefix sum of
+    ``n_tok`` in ``id_col`` order), without a single-reducer sort.
+
+    bucket prefix (tiny collect) + within-bucket window = exact global
+    offsets; every stage is distributed.
+    """
+    from ..plans.chunking import assign_buckets, make_plan
+
+    plan = make_plan(df, id_col, n_buckets, seed=seed)
+    b = assign_buckets(df, plan)
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in b.groupBy("_bucket").agg(F.sum(n_tok_col).alias("t")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for bid in sorted(totals):
+        prefix[bid] = acc
+        acc += totals[bid] or 0
+    entries = []
+    for bid, off in prefix.items():
+        entries += [F.lit(bid), F.lit(off)]
+    prefix_map = F.create_map(*entries)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(n_tok_col).over(w), F.lit(0))
+    return b.withColumn(
+        "tok_start", (prefix_map[F.col("_bucket")] + local).cast("long")
+    ).drop("_bucket")
+
+
+def pack_sequences(
+    spark: SparkSession,
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-split packing: the token stream in ``id_col`` order,
+    cut into sequences of exactly ``seq_len`` tokens (last one ragged).
+
+    Returns (seq_id, tokens, n_tokens, n_docs): ``n_docs`` = number of
+    documents contributing at least one token to the sequence. Every
+    document becomes at most ceil(n_tok/seq_len)+1 array SLICES (pure
+    JVM expressions — no token explode, no UDF), assembled per
+    sequence with one hash shuffle on seq_id.
+    """
+    offs = doc_offsets(spark, df, id_col, n_tok_col, n_buckets).filter(
+        F.col(n_tok_col) > 0
+    )
+    first_seq = F.floor(F.col("tok_start") / seq_len)
+    last_seq = F.floor((F.col("tok_start") + F.col(n_tok_col) - 1) / seq_len)
+    seg = offs.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.col(n_tok_col),
+        F.col("tok_start"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    # slice bounds of this doc's contribution to this sequence
+    seg_start = F.greatest(F.col("seq_id") * seq_len - F.col("tok_start"), F.lit(0))
+    seg_end = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("tok_start"), F.col(n_tok_col)
+    )
+    seg = seg.select(
+        "seq_id",
+        F.col(id_col),
+        F.slice(
+            F.col(tokens_col),
+            (seg_start + 1).cast("int"),
+            (seg_end - seg_start).cast("int"),
+        ).alias("chunk"),
+    )
+    packed = seg.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("chunk")))),
+                lambda s: s.getField("chunk"),
+            )
+        ).alias(tokens_col),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return packed.select(
+        F.col("seq_id").cast("long"),
+        tokens_col,
+        F.size(tokens_col).alias("n_tokens"),
+        F.col("n_docs").cast("long"),
+    )
+
+
+def token_vocab(
+    df: DataFrame,
+    k: int = 50,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Top-k token frequency histogram (token, n), count-desc with a
+    token-asc tiebreak. One explode + one partially-aggregated shuffle
+    of (token, count) pairs — the canonical vocabulary scan."""
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(k)
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    bucket_size: int = 128,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Sequence-length distribution: per length bucket, document count
+    and min/max length (one narrow aggregate — scan-speed)."""
+    b = F.floor(F.col(n_tok_col) / bucket_size).cast("long")
+    return (
+        df.groupBy(b.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(n_tok_col).alias("min_len"),
+            F.max(n_tok_col).alias("max_len"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -1348,6 +1348,139 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Training-batch preparation: sequence packing + token statistics +
+# benchmark contamination (round 3)
+# ---------------------------------------------------------------------------
+
+
+def q36_pack_sequences(spark, sf):
+    """Concat-and-split packing of the persisted deterministic tokens
+    table into 512-token training sequences (the GPT-style pretraining
+    dataloader view). The DuckDB oracle re-derives every sequence by
+    flattening the token stream with ROW_NUMBER over (doc_id, ordinal)
+    and grouping by pos // 512; both sides emit an md5 digest of the
+    comma-joined token list so sequence CONTENT (not just counts) is
+    hash-compared."""
+    from .operators.packing import pack_sequences
+
+    src_dir, _, _ = _ensure_q20_artifacts(spark)
+    src = spark.read.parquet(src_dir)
+    p = pack_sequences(spark, src, 512)
+    return p.select(
+        "seq_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_docs").alias("n_docs"),
+        F.md5(F.array_join("tokens", ",")).alias("digest"),
+    ).orderBy("seq_id")
+
+
+SQL_Q36 = f"""
+WITH flat AS (
+  SELECT d.doc_id, d.tokens[i] AS token,
+         ROW_NUMBER() OVER (ORDER BY d.doc_id, i) - 1 AS pos
+  FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet') d,
+       UNNEST(generate_series(1, len(d.tokens))) AS u(i)
+)
+SELECT CAST(pos // 512 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       md5(string_agg(CAST(token AS VARCHAR), ',' ORDER BY pos)) AS digest
+FROM flat
+GROUP BY 1
+ORDER BY seq_id
+"""
+
+
+def q37_token_vocab(spark, sf):
+    """Top-50 token frequency histogram over the persisted tokens
+    table (explode -> partially-aggregated count shuffle), count-desc
+    with token-asc tiebreak."""
+    from .operators.packing import token_vocab
+
+    src_dir, _, _ = _ensure_q20_artifacts(spark)
+    return token_vocab(spark.read.parquet(src_dir), k=50)
+
+
+SQL_Q37 = f"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(tokens) AS token
+  FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet')
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+def q38_contamination(spark, sf):
+    """Benchmark-contamination report: a deterministic synthetic eval
+    set (every 17th document; even ids keep their text = contaminated,
+    odd ids get md5-derived guaranteed-novel words = clean) checked
+    for word-trigram overlap against the full documents corpus. The
+    distinct train shingles act as the dictionary side of a semi-join
+    — no O(train x eval) pairing."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ev_base = d.filter(F.col("doc_id") % 17 == 0)
+    clean_text = F.concat_ws(
+        " ",
+        F.lit("zz"),
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+    )
+    eval_df = ev_base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(clean_text)
+        .alias("text"),
+    )
+    return (
+        dedup.ngram_contamination(d, eval_df, n=3)
+        .select(
+            "eval_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+SQL_Q38 = """
+WITH train_docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+eval_docs AS (
+  SELECT doc_id + 2000000 AS id,
+         trim(regexp_replace(lower(
+           CASE WHEN doc_id % 2 = 0 THEN text
+                ELSE 'zz ' || md5(text) || ' ' || md5(text || 'x') || ' ' || md5(text || 'y')
+           END), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id % 17 = 0
+),
+train_words AS (SELECT id, string_split(t, ' ') AS ws FROM train_docs),
+eval_words AS (SELECT id, string_split(t, ' ') AS ws FROM eval_docs),
+train_grams AS (
+  SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM train_words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+eval_grams AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM eval_words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+)
+SELECT e.id AS eval_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+FROM eval_grams e LEFT JOIN train_grams t ON e.shingle = t.shingle
+GROUP BY e.id
+ORDER BY eval_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -1384,4 +1517,7 @@ QUERIES = {
     "q33_ivf_ann": (q33_ivf_ann, SQL_Q33),
     "q34_manifest_lineage": (q34_manifest_lineage, SQL_Q34),
     "q35_winnow_fingerprints": (q35_winnow_fingerprints, SQL_Q35),
+    "q36_pack_sequences": (q36_pack_sequences, SQL_Q36),
+    "q37_token_vocab": (q37_token_vocab, SQL_Q37),
+    "q38_contamination": (q38_contamination, SQL_Q38),
 }

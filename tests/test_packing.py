@@ -1,0 +1,111 @@
+"""Sequence packing + token statistics (operators/packing.py) and the
+contamination report (operators/dedup.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from mojap_arrow_pd_parser_spark.operators import dedup
+from mojap_arrow_pd_parser_spark.operators.packing import (
+    doc_offsets,
+    length_histogram,
+    pack_sequences,
+    token_vocab,
+)
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    rng = np.random.Generator(np.random.Philox(key=[3, 1]))
+    rows = []
+    for i in range(300):
+        n = int(rng.integers(0, 40))  # includes empty docs
+        rows.append((f"d{i:05d}", [int(x) for x in rng.integers(0, 100, n)], n))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    ).cache()
+
+
+class TestPacking:
+    def test_offsets_are_exclusive_prefix_sums(self, spark, toks):
+        got = {
+            r.doc_id: r.tok_start
+            for r in doc_offsets(spark, toks, n_buckets=8).collect()
+        }
+        acc = 0
+        for r in sorted(toks.collect(), key=lambda r: r.doc_id):
+            assert got[r.doc_id] == acc, r.doc_id
+            acc += r.n_tok
+
+    def test_pack_reconstructs_the_token_stream(self, spark, toks):
+        """Concatenating the packed sequences in seq_id order must give
+        exactly the concatenated token stream in doc_id order."""
+        L = 64
+        packed = sorted(
+            pack_sequences(spark, toks, L).collect(), key=lambda r: r.seq_id
+        )
+        stream = []
+        for r in sorted(toks.collect(), key=lambda r: r.doc_id):
+            stream.extend(r.tokens)
+        got = []
+        for i, r in enumerate(packed):
+            assert r.seq_id == i  # dense ids
+            assert r.n_tokens == len(r.tokens)
+            if i < len(packed) - 1:
+                assert r.n_tokens == L  # all but the last are exactly L
+            got.extend(r.tokens)
+        assert got == stream
+        # n_docs: each sequence counts its contributing docs
+        assert all(r.n_docs >= 1 for r in packed)
+
+    def test_pack_no_global_single_partition_sort(self, spark, toks):
+        """The offsets stage must not contain an un-partitioned Window
+        (single-reducer global sort): the plan's window specs all
+        carry a partition key."""
+        plan = doc_offsets(spark, toks, n_buckets=8)._jdf.queryExecution().toString()
+        import re
+
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "_bucket" in m.group(1), m.group(0)
+
+    def test_vocab_matches_numpy(self, spark, toks):
+        got = [(r.token, r.n) for r in token_vocab(toks, k=10).collect()]
+        from collections import Counter
+
+        c = Counter()
+        for r in toks.collect():
+            c.update(r.tokens)
+        expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == expect
+
+    def test_length_histogram(self, spark, toks):
+        got = {r.len_bucket: r.n_docs for r in length_histogram(toks, 16).collect()}
+        from collections import Counter
+
+        expect = Counter(r.n_tok // 16 for r in toks.collect())
+        assert got == dict(expect)
+
+
+class TestContamination:
+    def test_exact_copy_fully_contaminated_novel_clean(self, spark):
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pack my box with five dozen liquor jugs")],
+            "doc_id long, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog"),  # copy
+             (11, "zz qq ww ee rr tt yy"),                          # novel
+             (12, "with five dozen liquor jugs and more besides")], # partial
+            "doc_id long, text string",
+        )
+        got = {
+            r.eval_id: (r.n_shingles, r.n_contaminated)
+            for r in dedup.ngram_contamination(train, eval_df, n=3).collect()
+        }
+        assert got[10][0] == got[10][1] > 0  # fully contaminated
+        assert got[11][1] == 0 and got[11][0] > 0  # clean
+        assert 0 < got[12][1] < got[12][0]  # partial overlap
