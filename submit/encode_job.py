@@ -53,6 +53,9 @@ def main() -> None:
     p.add_argument("--compact-min-rows", type=int, default=0,
                    help="after encoding, merge chunks smaller than this "
                         "(crash-safe replace semantics + GC)")
+    p.add_argument("--decode-to", default=None,
+                   help="after encoding, decode the table back to plain "
+                        "parquet at this path (the export/consumer job)")
     args = p.parse_args()
     if not args.synthetic and not args.input:
         p.error("need --input or --synthetic")
@@ -105,6 +108,15 @@ def main() -> None:
 
         compacted = compact_chunks(spark, args.output, min_rows=args.compact_min_rows)
         result["chunks_after_compact"] = compacted.count()
+    if args.decode_to:
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        t0 = time.monotonic()
+        decode_table(spark, args.output).write.mode("overwrite").parquet(
+            args.decode_to
+        )
+        result["decode_to"] = args.decode_to
+        result["decode_wall_sec"] = round(time.monotonic() - t0, 2)
     if args.verify:
         result["verify"] = verify_roundtrip(spark, df, args.output, key=args.key)
     print(json.dumps(result))
