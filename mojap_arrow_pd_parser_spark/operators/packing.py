@@ -152,6 +152,35 @@ def token_vocab(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic train/validation split by id hash (the standard
+    leakage-safe held-out split: membership is a pure function of the
+    id, stable across runs, cluster sizes and data order).
+
+    Adds a ``split`` column ('val' for hash%100 < val_pct else
+    'train'). ``hash_mode='md5'`` uses the DuckDB-portable 28-bit md5
+    prefix (oracle mode); the default is the pure-JVM xxhash64.
+    """
+    sid = F.col(id_col).cast("string")
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(sid), 1, 7), 16, 10).cast("long")
+    elif hash_mode == "xxhash64":
+        h = F.abs(F.xxhash64(sid))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r} (md5|xxhash64)")
+    return df.withColumn(
+        "split",
+        F.when(F.pmod(h, F.lit(100)) < val_pct, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def length_histogram(
     df: DataFrame,
     bucket_size: int = 128,

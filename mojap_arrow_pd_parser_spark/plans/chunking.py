@@ -249,6 +249,31 @@ def _assign_buckets_searchsorted(
     return df.mapInArrow(assign, schema=out_schema)
 
 
+def suggest_n_chunks(
+    df: DataFrame,
+    target_chunk_bytes: int | str = "256MB",
+    probe_rows: int = 1000,
+) -> int:
+    """Chunk-count suggestion for :func:`make_plan` — sized so each
+    chunk's IN-MEMORY payload lands near ``target_chunk_bytes`` (the
+    ~256 MB sweet spot object stores and task sizing both like).
+
+    Same probe the reference uses for its memory-string chunksize
+    (/root/reference/arrow_pd_parser/reader.py:53-61): sample
+    ``probe_rows`` rows for bytes/row, multiply by the row count. One
+    count + one tiny collect — cheap relative to any encode run.
+    """
+    from ..sources.inference import human_to_bytes
+
+    target = human_to_bytes(target_chunk_bytes)
+    n_rows = df.count()
+    if n_rows == 0:
+        return 1
+    probe = df.limit(probe_rows).toPandas()
+    bpr = max(1.0, float(probe.memory_usage(deep=True).sum()) / max(len(probe), 1))
+    return max(1, round(n_rows * bpr / target))
+
+
 def salt_skewed(
     df: DataFrame,
     key: str,

@@ -1481,6 +1481,35 @@ ORDER BY eval_id
 """
 
 
+def q39_hash_split(spark, sf):
+    """Deterministic leakage-safe train/val split of the documents
+    table (membership = pure function of the id hash), summarized per
+    split. md5 mode so the DuckDB oracle reproduces every assignment."""
+    from .operators.packing import hash_split
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    s = hash_split(d, "doc_id", val_pct=5, hash_mode="md5")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_Q39 = """
+SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 5
+            THEN 'val' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -1520,4 +1549,5 @@ QUERIES = {
     "q36_pack_sequences": (q36_pack_sequences, SQL_Q36),
     "q37_token_vocab": (q37_token_vocab, SQL_Q37),
     "q38_contamination": (q38_contamination, SQL_Q38),
+    "q39_hash_split": (q39_hash_split, SQL_Q39),
 }

@@ -109,3 +109,39 @@ class TestContamination:
         assert got[10][0] == got[10][1] > 0  # fully contaminated
         assert got[11][1] == 0 and got[11][0] > 0  # clean
         assert 0 < got[12][1] < got[12][0]  # partial overlap
+
+
+class TestHashSplit:
+    def test_deterministic_and_disjoint(self, spark, toks):
+        from mojap_arrow_pd_parser_spark.operators.packing import hash_split
+
+        a = {r.doc_id: r.split for r in hash_split(toks).collect()}
+        b = {r.doc_id: r.split for r in hash_split(toks).collect()}
+        assert a == b  # pure function of the id
+        assert set(a.values()) <= {"train", "val"}
+        n_val = sum(1 for v in a.values() if v == "val")
+        assert 0 < n_val < len(a) * 0.2  # ~5% +/- sampling noise
+
+    def test_md5_mode_matches_manual(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.packing import hash_split
+        import hashlib
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        got = {r.doc_id: r.split for r in hash_split(df, hash_mode="md5").collect()}
+        for i in range(200):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+            assert got[i] == ("val" if h % 100 < 5 else "train"), i
+
+
+class TestSuggestNChunks:
+    def test_scales_with_target(self, spark, toks):
+        from mojap_arrow_pd_parser_spark.plans.chunking import suggest_n_chunks
+
+        small = suggest_n_chunks(toks, "4KB")
+        big = suggest_n_chunks(toks, "10MB")
+        assert small > big >= 1
+
+    def test_empty(self, spark):
+        from mojap_arrow_pd_parser_spark.plans.chunking import suggest_n_chunks
+
+        assert suggest_n_chunks(spark.createDataFrame([], "a int"), "1MB") == 1
