@@ -9,9 +9,11 @@ local[$SPARK_GRAFT_CPUS]:
 * decode+verify job: the round-trip gate at bench scale;
 * headline query suite over the driver testdata tables;
 * cluster-scaling evidence (north rule): the SAME encode job at two
-  parallelism levels (local[8] vs local[32] subprocesses, standing in
-  for N vs 4N executors per the sandbox instruction), reporting
-  throughput at both and efficiency = T_8 / (4 * T_32).
+  parallelism levels (local[2] vs local[8] subprocesses, standing in
+  for N vs 4N executors per the sandbox instruction — the pair sits
+  below this host's ~12-16-process memory-bandwidth ceiling, see
+  BENCH/BASELINE.md), reporting throughput at both and the per-pair
+  efficiency T_2 / (4 * T_8).
 
 Usage:
     python bench.py                  # full bench, one JSON line
