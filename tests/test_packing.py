@@ -145,3 +145,31 @@ class TestSuggestNChunks:
         from mojap_arrow_pd_parser_spark.plans.chunking import suggest_n_chunks
 
         assert suggest_n_chunks(spark.createDataFrame([], "a int"), "1MB") == 1
+
+
+class TestPackingEdges:
+    def test_doc_spanning_many_sequences(self, spark):
+        """A single document longer than several seq_lens must split
+        across all spanned sequences with every token preserved."""
+        rows = [
+            ("a", list(range(10)), 10),
+            ("b", list(range(100, 250)), 150),  # spans >4 sequences of 32
+            ("c", list(range(500, 507)), 7),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+        packed = sorted(
+            pack_sequences(spark, df, 32, n_buckets=2).collect(),
+            key=lambda r: r.seq_id,
+        )
+        stream = list(range(10)) + list(range(100, 250)) + list(range(500, 507))
+        got = [t for r in packed for t in r.tokens]
+        assert got == stream
+        assert [r.n_tokens for r in packed[:-1]] == [32] * (len(packed) - 1)
+        # middle sequences are fully inside doc b -> exactly 1 contributing doc
+        assert any(r.n_docs == 1 for r in packed)
+
+    def test_all_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [("a", [], 0), ("b", [], 0)], "doc_id string, tokens array<int>, n_tok int"
+        )
+        assert pack_sequences(spark, df, 16).count() == 0
