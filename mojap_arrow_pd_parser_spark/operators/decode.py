@@ -39,6 +39,7 @@ def decode_table(
     columns: list[str] | None = None,
     verify_checksums: bool = True,
     key_range: tuple | None = None,
+    where: tuple | None = None,
 ) -> DataFrame:
     """Decode an encoded table back to its original schema (lazy).
 
@@ -50,6 +51,16 @@ def decode_table(
     chunk files instead of all of them. Manifest min/max compare as
     strings, so pruning applies only when the sort key is a string
     type (everything else falls back to decode-all + row filter).
+
+    ``where=(col, lo, hi)`` is the generalization to ANY eligible
+    column via the sidecars' per-COLUMN zone map (Iceberg
+    column-stats analog, ``col_stats``): chunks whose recorded typed
+    [min, max] for ``col`` is disjoint with [lo, hi] are never
+    scanned, then the exact ``between`` row filter applies after
+    decode. Pruning only fires when the recorded bounds and the query
+    bounds are the same type family (numeric-to-numeric or
+    string-to-string) — chunks without comparable stats decode
+    normally and rely on the row filter.
     """
     plan = load_plan(out_dir)
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
@@ -58,6 +69,9 @@ def decode_table(
     key_added = key_range is not None and key and key not in names
     if key_added:
         names = list(names) + [key]  # needed for the row-level filter
+    where_added = where is not None and where[0] not in names
+    if where_added:
+        names = list(names) + [where[0]]
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
     from .encode import live_chunks, scan_sidecars
 
@@ -85,6 +99,8 @@ def decode_table(
                 m for m in keep
                 if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
             ]
+        if where is not None:
+            keep = [m for m in keep if _col_stats_overlap(m, where)]
         if not keep:
             return spark.createDataFrame([], out_schema)
         enc = spark.read.parquet(
@@ -102,7 +118,35 @@ def decode_table(
         decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
         if key_added:  # the key was only pulled in for the filter
             decoded = decoded.drop(key)
+    if where is not None:
+        col, lo, hi = where
+        decoded = decoded.filter(F.col(col).between(lo, hi))
+        if where_added:  # the column was only pulled in for the filter
+            decoded = decoded.drop(col)
     return decoded
+
+
+def _col_stats_overlap(m: dict, where: tuple) -> bool:
+    """True if chunk ``m`` may contain rows with where[0] in
+    [where[1], where[2]] — i.e. prune ONLY on a provably-disjoint
+    typed zone map; missing/incomparable stats keep the chunk."""
+    col, lo, hi = where
+    try:
+        stats = json.loads(m.get("col_stats") or "{}")
+    except (TypeError, json.JSONDecodeError):
+        return True
+    mm = stats.get(col)
+    if not mm:
+        return True
+    mn, mx = mm
+    numeric = (int, float)
+    if isinstance(mn, bool) or isinstance(lo, bool):
+        return True  # bools never recorded; don't guess
+    if isinstance(mn, numeric) and isinstance(lo, numeric) and isinstance(hi, numeric):
+        return not (mx < lo or mn > hi)
+    if isinstance(mn, str) and isinstance(lo, str) and isinstance(hi, str):
+        return not (mx < lo or mn > hi)
+    return True  # mixed types: never prune on a cross-type compare
 
 
 def decode_rows_df(

@@ -80,6 +80,33 @@ def _codec_label(meta: dict) -> str:
     return "?"
 
 
+def _col_min_max(arr: pa.Array):
+    """Typed [min, max] for the per-column zone map, or None when the
+    column type/content can't be compared safely: only int/float/
+    string columns, all-null columns skipped, non-finite floats
+    skipped (no JSON-safe total order). Values keep their python TYPE
+    in the sidecar JSON, so pruning compares int-to-int / str-to-str —
+    never a stringified numeric (the lexicographic '9' > '100' trap)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    t = arr.type
+    ok = (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    )
+    if not ok or not len(arr) or arr.null_count == len(arr):
+        return None
+    mm = pc.min_max(arr)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if isinstance(mn, float) and not (math.isfinite(mn) and math.isfinite(mx)):
+        return None
+    return [mn, mx]
+
+
 def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Table, dict]:
     """Encode one in-memory chunk -> (encoded rows table, manifest dict)."""
     t0 = time.monotonic()
@@ -89,6 +116,7 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
     cols, codecs_j, metas, payloads, crcs = [], {}, [], [], []
     in_bytes = out_bytes = 0
     col_in_bytes = []
+    col_stats: dict[str, list] = {}
     for name in table.column_names:
         arr = table.column(name).combine_chunks()
         meta, payload = encode_array(arr)
@@ -101,6 +129,9 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         col_in_bytes.append(arr.nbytes)
         in_bytes += arr.nbytes
         out_bytes += len(payload) + len(metas[-1])
+        mm = _col_min_max(arr)
+        if mm is not None:
+            col_stats[name] = mm
     enc = pa.Table.from_arrays(
         [
             pa.array([chunk_id] * len(cols), type=pa.int32()),
@@ -126,6 +157,11 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         "crc32": f"{zlib.crc32(('|'.join(crcs)).encode()):08x}",
         "key_min": str(key_vals[0].as_py()) if n_rows and key_vals is not None else "",
         "key_max": str(key_vals[-1].as_py()) if n_rows and key_vals is not None else "",
+        # per-COLUMN zone map (Iceberg column-stats analog): typed
+        # min/max per eligible column, sidecar-only (not in the
+        # consolidated MANIFEST_SCHEMA) — decode_table(where=) prunes
+        # chunk files with it
+        "col_stats": json.dumps(col_stats, separators=(",", ":")),
         "wall_ms": int((time.monotonic() - t0) * 1000),
         "status": "ok",
     }
@@ -176,7 +212,7 @@ SIDECAR_DF_SCHEMA = (
     "chunk_id int, n_rows bigint, n_cols int, in_bytes bigint, "
     "out_bytes bigint, codecs string, crc32 string, key_min string, "
     "key_max string, wall_ms bigint, file string, status string, "
-    "file_bytes bigint, replaces array<bigint>"
+    "file_bytes bigint, replaces array<bigint>, col_stats string"
 )
 
 #: below this many sidecars the serial loop wins (no job overhead);
@@ -234,6 +270,8 @@ def _scan_sidecars_distributed(spark: SparkSession, out_dir: str) -> dict[int, d
             m.pop("replaces", None)  # serial dicts omit the key entirely
         else:
             m["replaces"] = [int(r) for r in m["replaces"]]
+        if m.get("col_stats") is None:
+            m.pop("col_stats", None)  # pre-round-3 sidecars lack it
         m["_verified"] = sizes.get(m["file"]) == m["file_bytes"]
         out[int(m["chunk_id"])] = m
     return out
@@ -323,6 +361,7 @@ def encode_table(
                 fsio.join(manifest_dir, f"{int(chunk_id):05d}.json"), manifest
             )
             manifest.pop("file_bytes")
+            manifest.pop("col_stats", None)
             yield _manifest_batch(manifest).to_batches()[0]
 
     mdf = (
@@ -346,6 +385,7 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
         m = dict(m)
         m.pop("file_bytes", None)
         m.pop("replaces", None)  # compaction lineage stays sidecar-only
+        m.pop("col_stats", None)  # column zone map stays sidecar-only
         rows.append(m)
     cons = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) if rows else None
     if cons is None:
@@ -434,6 +474,7 @@ def encode_files(
                     fsio.join(manifest_dir, f"{chunk_id:05d}.json"), manifest
                 )
                 manifest.pop("file_bytes")
+                manifest.pop("col_stats", None)
                 yield _manifest_batch(manifest).to_batches()[0]
 
     if todo:
@@ -546,6 +587,7 @@ def compact_chunks(
                     fsio.join(manifest_dir, f"{new_id:05d}.json"), manifest
                 )
                 manifest.pop("file_bytes")
+                manifest.pop("col_stats", None)
                 manifest.pop("replaces")
                 yield _manifest_batch(manifest).to_batches()[0]
 

@@ -288,3 +288,40 @@ def test_checksum_detects_corruption(spark, src, tmp_path):
     pq.write_table(t, chunk, compression="none")
     with pytest.raises(Exception, match="checksum|mismatch"):
         decode_table(spark, out).count()
+
+
+def test_column_zone_map_pruned_decode(spark, tmp_path):
+    """where=(col, lo, hi): the per-COLUMN sidecar zone map prunes
+    chunk files for any eligible column, typed compare only, exact
+    row filter after decode."""
+    from pyspark.sql import functions as F
+
+    from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+    from mojap_arrow_pd_parser_spark.operators.encode import scan_sidecars
+
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("doc_id"),
+        (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("cat"),
+    )
+    out = str(tmp_path / "enc_colzm")
+    encode_table(spark, df, out, key="doc_id", n_chunks=8)
+    # sidecars carry typed per-column stats
+    m = next(iter(scan_sidecars(out).values()))
+    stats = json.loads(m["col_stats"])
+    assert isinstance(stats["val"][0], int)  # typed, not stringified
+    assert isinstance(stats["cat"][0], str)
+
+    # int column: doc_id order == val order -> tight ranges -> pruning
+    dec = decode_table(spark, out, where=("val", 1000, 1500))
+    assert 0 < len(dec.inputFiles()) < 8
+    assert dec.count() == 251  # ids 500..750 inclusive
+    # string column uniform across chunks: no pruning, still correct
+    dec2 = decode_table(spark, out, where=("cat", "s1", "s1"))
+    assert dec2.count() == 800
+    # pulled-in filter column must not leak into the schema
+    dec3 = decode_table(spark, out, columns=["doc_id"], where=("val", 0, 10))
+    assert dec3.columns == ["doc_id"]
+    assert dec3.count() == 6
+    # disjoint range short-circuits to empty
+    assert decode_table(spark, out, where=("val", 10**9, 2 * 10**9)).count() == 0
