@@ -1481,6 +1481,34 @@ ORDER BY eval_id
 """
 
 
+def q40_column_pruned_decode(spark, sf):
+    """Per-COLUMN zone-map read path (q31's generalization): decode
+    only the chunks whose sidecar col_stats[n_tok] range overlaps the
+    predicate — an Iceberg column-stats pruned scan on a NON-key
+    column — then the exact row filter. Oracle recomputes the same
+    aggregate from the persisted source parquet with a plain WHERE."""
+    from .operators.decode import decode_table
+
+    _src, enc_dir, _dec = _ensure_q20_artifacts(spark)
+    dec = decode_table(spark, enc_dir, where=("n_tok", 100, 200))
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q40 = f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet')
+WHERE n_tok BETWEEN 100 AND 200
+GROUP BY source ORDER BY source
+"""
+
+
 def q39_hash_split(spark, sf):
     """Deterministic leakage-safe train/val split of the documents
     table (membership = pure function of the id hash), summarized per
@@ -1550,4 +1578,5 @@ QUERIES = {
     "q37_token_vocab": (q37_token_vocab, SQL_Q37),
     "q38_contamination": (q38_contamination, SQL_Q38),
     "q39_hash_split": (q39_hash_split, SQL_Q39),
+    "q40_column_pruned_decode": (q40_column_pruned_decode, SQL_Q40),
 }
