@@ -1474,7 +1474,7 @@ eval_grams AS (
 )
 SELECT e.id AS eval_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
 FROM eval_grams e LEFT JOIN train_grams t ON e.shingle = t.shingle
 GROUP BY e.id
 ORDER BY eval_id
@@ -1531,7 +1531,7 @@ SQL_Q39 = """
 SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 5
             THEN 'val' ELSE 'train' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 ORDER BY split
