@@ -102,7 +102,19 @@ def decode_table(
         if where is not None:
             keep = [m for m in keep if _col_stats_overlap(m, where)]
         if not keep:
-            return spark.createDataFrame([], out_schema)
+            # Match the non-empty path's final schema: columns pulled
+            # in only for the key_range/where row filter are dropped
+            # there, so they must not appear here either — otherwise
+            # downstream unions/writes would see a data-dependent schema.
+            dropped = set()
+            if key_added:
+                dropped.add(key)
+            if where_added:
+                dropped.add(where[0])
+            empty_schema = StructType(
+                [f for f in out_schema.fields if f.name not in dropped]
+            )
+            return spark.createDataFrame([], empty_schema)
         enc = spark.read.parquet(
             *[fsio.join(out_dir, "chunks", m["file"]) for m in keep]
         )

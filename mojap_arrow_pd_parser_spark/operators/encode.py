@@ -260,7 +260,15 @@ def _scan_sidecars_distributed(spark: SparkSession, out_dir: str) -> dict[int, d
     sdf = (
         spark.read.schema(SIDECAR_DF_SCHEMA)
         .json(fsio.join(out_dir, "manifest"))
-        .filter(F.col("chunk_id").isNotNull() & F.col("file").isNotNull())
+        # file_bytes must be present: a sidecar without it is malformed
+        # and the serial path skips it (KeyError) — without this filter
+        # a null size would compare equal to a MISSING chunk file
+        # (None == None) and mark damage as verified.
+        .filter(
+            F.col("chunk_id").isNotNull()
+            & F.col("file").isNotNull()
+            & F.col("file_bytes").isNotNull()
+        )
     )
     sizes = dict(fsio.list_files(fsio.join(out_dir, "chunks")))
     out: dict[int, dict] = {}

@@ -187,7 +187,12 @@ def ivf_assign(
     """Nearest-centroid list id per vector: argmin ||v-c||^2 with ties
     to the LOWEST cid.
 
-    Two physical strategies, same semantics:
+    Two physical strategies, equivalent up to floating-point rounding
+    (each path is internally deterministic, and each breaks exact ties
+    to the lowest cid; but the two paths may disagree on NEAR-ties,
+    because BLAS reassociates the matmul's accumulation while the
+    expression path folds sequentially — distances can differ in the
+    last ulps, flipping argmin when two centroids are that close):
 
     * k <= ``max_expr_k``: pure JVM expression — v.v - 2 v.c + c.c per
       centroid via sequential-fold dots (the exact formula the SQL
@@ -196,7 +201,7 @@ def ivf_assign(
       centroid matrix ships in the task closure (one broadcast per
       executor — plan size stays FLAT in k, and the per-batch cost is
       one matmul instead of a k-deep when-chain). np.argmin's
-      first-minimum rule gives the same lowest-cid tie-break.
+      first-minimum rule gives the lowest-cid tie-break within this path.
     """
     if len(centroids) > max_expr_k:
         return _ivf_assign_broadcast(df, centroids, vec_col, id_col)

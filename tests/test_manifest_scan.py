@@ -56,6 +56,12 @@ def _write_table(root: str, n: int) -> None:
     # a partial sidecar from a killed run -> skipped by both paths
     with open(f"{root}/manifest/zzzzz.json", "w") as f:
         f.write('{"chunk_id": 99999, "n_ro')
+    # a malformed-but-parseable sidecar: no file_bytes AND no chunk
+    # file. Serial path skips it (KeyError/OSError); the distributed
+    # path must NOT mark it verified via None == None.
+    with open(f"{root}/manifest/yyyyy.json", "w") as f:
+        f.write(json.dumps({"chunk_id": 77777, "file": "chunk-77777.parquet",
+                            "status": "ok"}))
     # a size-mismatched chunk -> _verified False on both paths
     with open(f"{root}/chunks/chunk-00003.parquet", "ab") as f:
         f.write(b"extra")
@@ -93,6 +99,9 @@ def test_distributed_matches_serial(spark, table_10k):
     dist = scan_sidecars(table_10k, spark)
     assert len(serial) == len(dist) == N_SIDECARS
     assert serial == dist
+    # the no-file_bytes/no-file sidecar is absent from BOTH views (a
+    # damaged table must not pass verification through a null size)
+    assert 77777 not in serial and 77777 not in dist
     # damage flag preserved
     assert dist[3]["_verified"] is False
     assert dist[4]["_verified"] is True
