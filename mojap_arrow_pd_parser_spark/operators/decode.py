@@ -73,35 +73,15 @@ def decode_table(
     if where_added:
         names = list(names) + [where[0]]
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
-    from .encode import live_chunks, scan_sidecars
 
     # Manifest-driven file list (live view): compaction-superseded
-    # chunks and stray files are invisible; key_range additionally
-    # prunes via the per-chunk zone map. A LIVE sidecar whose chunk
-    # file is missing or size-mismatched is table damage — fail loudly
+    # chunks and stray files are invisible; key_range/where prune via
+    # the per-chunk zone maps. A LIVE sidecar whose chunk file is
+    # missing or size-mismatched is table damage — fail loudly
     # instead of silently returning fewer rows.
-    live = live_chunks(scan_sidecars(out_dir, spark))
-    if live:
-        bad = [cid for cid, m in live.items() if not m["_verified"]]
-        if bad:
-            raise IOError(
-                f"encoded table at {out_dir!r} is damaged or incomplete: "
-                f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
-            )
-        keep = live.values()
-        # Prune ONLY when the plan explicitly recorded a string key:
-        # manifest key_min/key_max compare lexicographically, which is
-        # wrong for numeric keys ('9' > '100') — those decode all
-        # chunks and rely on the exact row filter below.
-        if key_range is not None and plan.get("key_type") == "string":
-            lo, hi = key_range
-            keep = [
-                m for m in keep
-                if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
-            ]
-        if where is not None:
-            keep = [m for m in keep if _col_stats_overlap(m, where)]
-        if not keep:
+    keep_files = _live_pruned_files(spark, out_dir, plan, key_range, where)
+    if keep_files is not None:
+        if not keep_files:
             # Match the non-empty path's final schema: columns pulled
             # in only for the key_range/where row filter are dropped
             # there, so they must not appear here either — otherwise
@@ -116,7 +96,7 @@ def decode_table(
             )
             return spark.createDataFrame([], empty_schema)
         enc = spark.read.parquet(
-            *[fsio.join(out_dir, "chunks", m["file"]) for m in keep]
+            *[fsio.join(out_dir, "chunks", f) for f in keep_files]
         )
     else:
         # no sidecars (foreign writer) -> fall back to the directory
@@ -136,6 +116,167 @@ def decode_table(
         if where_added:  # the column was only pulled in for the filter
             decoded = decoded.drop(col)
     return decoded
+
+
+def _live_pruned_files(
+    spark: SparkSession,
+    out_dir: str,
+    plan: dict,
+    key_range: tuple | None,
+    where: tuple | None,
+) -> list[str] | None:
+    """LIVE chunk file names surviving zone-map pruning, or ``None``
+    when the table has no usable sidecars (foreign writer -> caller
+    falls back to a directory read). Raises ``IOError`` on damage
+    (any live sidecar whose chunk file is absent/size-mismatched —
+    checked BEFORE pruning, so a damaged table never half-answers).
+
+    Above ``_DISTRIBUTED_SCAN_MIN`` sidecars the whole thing runs as
+    ONE Spark job over the sidecar JSON: verification join against a
+    single chunk-dir listing, compaction anti-join, and the
+    key/col_stats zone-map filters — the driver materializes ONLY the
+    surviving file names (plus one aggregate row), never the per-chunk
+    ``col_stats`` payloads. A 100-TB table (~400k sidecars) ships a
+    few MB of file names through the driver instead of hundreds of MB
+    of sidecar JSON.
+    """
+    from .encode import (
+        _DISTRIBUTED_SCAN_MIN,
+        SIDECAR_DF_SCHEMA,
+        live_chunks,
+        scan_sidecars,
+    )
+
+    manifest_dir = fsio.join(out_dir, "manifest")
+    names = [
+        fn for fn, _sz in fsio.list_files(manifest_dir) if fn.endswith(".json")
+    ]
+    if spark is None or len(names) < _DISTRIBUTED_SCAN_MIN:
+        live = live_chunks(scan_sidecars(out_dir))
+        if not live:
+            return None
+        bad = [cid for cid, m in live.items() if not m["_verified"]]
+        if bad:
+            raise IOError(
+                f"encoded table at {out_dir!r} is damaged or incomplete: "
+                f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
+            )
+        keep = live.values()
+        # Prune ONLY when the plan explicitly recorded a string key:
+        # manifest key_min/key_max compare lexicographically, which is
+        # wrong for numeric keys ('9' > '100') — those decode all
+        # chunks and rely on the exact row filter after decode.
+        if key_range is not None and plan.get("key_type") == "string":
+            lo, hi = key_range
+            keep = [
+                m for m in keep
+                if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
+            ]
+        if where is not None:
+            keep = [m for m in keep if _col_stats_overlap(m, where)]
+        return [m["file"] for m in keep]
+
+    sdf = (
+        spark.read.schema(SIDECAR_DF_SCHEMA)
+        .json(manifest_dir)
+        # same malformed-sidecar skips as scan_sidecars' paths
+        .filter(
+            F.col("chunk_id").isNotNull()
+            & F.col("file").isNotNull()
+            & F.col("file_bytes").isNotNull()
+        )
+        .dropDuplicates(["chunk_id"])
+    )
+    # live view: drop chunks superseded by a compacted chunk
+    replaced = sdf.select(F.explode("replaces").alias("chunk_id")).distinct()
+    live_df = sdf.join(replaced, "chunk_id", "left_anti")
+    # verification: ONE chunk-dir listing joined in, no per-file stats
+    sizes = fsio.list_files(fsio.join(out_dir, "chunks"))
+    sizes_df = spark.createDataFrame(sizes, "file string, fs_bytes bigint") \
+        if sizes else spark.createDataFrame([], "file string, fs_bytes bigint")
+    marked = (
+        live_df.join(F.broadcast(sizes_df), "file", "left")
+        .select(
+            "chunk_id",
+            "file",
+            F.col("fs_bytes").eqNullSafe(F.col("file_bytes")).alias("_ok"),
+            _zone_keep_expr(plan, key_range, where).alias("_keep"),
+        )
+        .persist()
+    )
+    try:
+        agg = marked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_bad"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.when(~F.col("_ok"), F.col("chunk_id")))
+                ),
+                1,
+                20,
+            ).alias("bad_ids"),
+        ).collect()[0]
+        if agg["n"] == 0:
+            return None
+        if agg["n_bad"]:
+            more = "" if agg["n_bad"] <= 20 else f" (+{agg['n_bad'] - 20} more)"
+            raise IOError(
+                f"encoded table at {out_dir!r} is damaged or incomplete: "
+                f"chunk file size mismatch / missing for chunk ids "
+                f"{sorted(agg['bad_ids'])}{more}"
+            )
+        return [r["file"] for r in marked.filter("_keep").select("file").collect()]
+    finally:
+        marked.unpersist()
+
+
+def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
+    """Spark-side twin of the driver pruning rules: TRUE iff the chunk
+    may contain matching rows. Conservative by construction — any
+    null/unparseable/incomparable stat keeps the chunk (row filters
+    after decode give exactness; pruning is only an optimization)."""
+    keep = F.lit(True)
+    if key_range is not None and plan.get("key_type") == "string":
+        lo, hi = key_range
+        disjoint = (F.col("key_max") < str(lo)) | (F.col("key_min") > str(hi))
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+    if where is not None:
+        col, lo, hi = where
+        numeric = (int, float)
+        is_bool = isinstance(lo, bool) or isinstance(hi, bool)
+        raw = F.get_json_object(F.col("col_stats"), f"$['{col}']")
+        if (not is_bool
+                and isinstance(lo, numeric) and isinstance(hi, numeric)):
+            # Representation chosen by the JSON literal form so the
+            # compare is exact in the regime that matters: float-formed
+            # stats ('.'/'e' present) parse as double (JSON floats
+            # round-trip doubles exactly; a representable stat vs a
+            # round-to-nearest bound can never flip keep->prune), and
+            # integer-formed stats parse as decimal(38,9) (exact for
+            # every int64, where double would round at >2^53).
+            arr_d = F.from_json(raw, "array<double>")
+            arr_c = F.from_json(raw, "array<decimal(38,9)>")
+            lo_c = F.lit(lo).cast("decimal(38,9)")
+            hi_c = F.lit(hi).cast("decimal(38,9)")
+            disjoint = (
+                raw.isNotNull()
+                & ~raw.startswith('["')  # string stats: cross-type, keep
+                & F.when(
+                    raw.rlike("[.eE]"),
+                    (arr_d[1] < F.lit(lo)) | (arr_d[0] > F.lit(hi)),
+                ).otherwise((arr_c[1] < lo_c) | (arr_c[0] > hi_c))
+            )
+            keep = keep & ~F.coalesce(disjoint, F.lit(False))
+        elif not is_bool and isinstance(lo, str) and isinstance(hi, str):
+            arr_s = F.from_json(raw, "array<string>")
+            disjoint = (
+                raw.isNotNull()
+                & raw.startswith('["')  # only genuine string stats
+                & ((arr_s[1] < lo) | (arr_s[0] > hi))
+            )
+            keep = keep & ~F.coalesce(disjoint, F.lit(False))
+        # bool / mixed-type bounds: never prune (same as the driver rule)
+    return keep
 
 
 def _col_stats_overlap(m: dict, where: tuple) -> bool:

@@ -110,6 +110,126 @@ def test_distributed_matches_serial(spark, table_10k):
     assert set(live_chunks(dist)) == set(live_chunks(serial))
 
 
+def _write_clean_table(root: str, n: int) -> None:
+    """Undamaged table with per-column zone maps: chunk cid covers
+    val in [cid*10, cid*10+9], fval in [cid+0.5, cid+1.5], cat in
+    [s{cid:05d}, s{cid:05d}z], big = 2^60+cid (double-unrepresentable)."""
+    os.makedirs(f"{root}/chunks")
+    os.makedirs(f"{root}/manifest")
+    for cid in range(n):
+        fname = f"chunk-{cid:05d}.parquet"
+        payload = b"x" * (10 + cid % 7)
+        with open(f"{root}/chunks/{fname}", "wb") as f:
+            f.write(payload)
+        m = {
+            "chunk_id": cid,
+            "n_rows": 100,
+            "n_cols": 4,
+            "in_bytes": 1000,
+            "out_bytes": 500,
+            "codecs": "{}",
+            "crc32": "deadbeef",
+            "key_min": f"doc{cid:05d}",
+            "key_max": f"doc{cid:05d}z",
+            "wall_ms": 5,
+            "status": "ok",
+            "file": fname,
+            "file_bytes": len(payload),
+            "col_stats": json.dumps({
+                "val": [cid * 10, cid * 10 + 9],
+                "fval": [cid + 0.5, cid + 1.5],
+                "cat": [f"s{cid:05d}", f"s{cid:05d}z"],
+                "big": [2**60 + cid, 2**60 + cid],
+            }),
+        }
+        if cid % 1000 == 999:
+            m["replaces"] = [cid - 1, cid - 2]
+        with open(f"{root}/manifest/{cid:05d}.json", "w") as f:
+            f.write(json.dumps(m))
+
+
+N_CLEAN = 10_000
+_PLAN = {"key": "doc_id", "key_type": "string"}
+
+
+@pytest.fixture(scope="module")
+def clean_10k(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prune10k") / "enc")
+    _write_clean_table(root, N_CLEAN)
+    return root
+
+
+def _prune_both_paths(spark, root, kr=None, wh=None):
+    """(distributed, serial) results of _live_pruned_files."""
+    from mojap_arrow_pd_parser_spark.operators.decode import _live_pruned_files
+
+    dist = sorted(_live_pruned_files(spark, root, _PLAN, kr, wh))
+    serial = sorted(_live_pruned_files(None, root, _PLAN, kr, wh))
+    return dist, serial
+
+
+@pytest.mark.parametrize(
+    "kr,wh",
+    [
+        (None, None),
+        (("doc00010", "doc00020"), None),
+        (None, ("val", 100, 259)),
+        (None, ("val", 100.5, 250.5)),   # float bounds vs int stats
+        (None, ("fval", 3.0, 7.25)),     # float stats
+        (None, ("cat", "s00010", "s00020")),
+        (None, ("nope", 1, 2)),          # unmapped column -> no prune
+        (None, ("val", True, True)),     # bool bounds -> no prune
+        (None, ("big", 2**60 + 5, 2**60 + 10)),  # int64 > 2^53: exact
+        (None, ("val", 10**9, 2 * 10**9)),       # empty survivors
+        (("doc00010", "doc00100"), ("val", 100, 259)),
+    ],
+)
+def test_distributed_prune_matches_serial(spark, clean_10k, kr, wh):
+    dist, serial = _prune_both_paths(spark, clean_10k, kr, wh)
+    assert dist == serial
+    if kr == wh is None:
+        # live view: the %1000==999 compacted chunks retired 2 each
+        assert len(dist) == N_CLEAN - 2 * (N_CLEAN // 1000)
+
+
+def test_distributed_prune_driver_materializes_only_survivors(
+    spark, clean_10k, monkeypatch
+):
+    """The 100-TB contract: the driver collects ONE aggregate row plus
+    the surviving file names — never per-sidecar col_stats payloads."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in 4.x)
+    from pyspark.sql.classic.dataframe import DataFrame
+    from mojap_arrow_pd_parser_spark.operators.decode import _live_pruned_files
+
+    collected = []
+    real = DataFrame.collect
+
+    def spy(self):
+        rows = real(self)
+        collected.append((len(rows), list(self.columns)))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    files = _live_pruned_files(
+        spark, clean_10k, _PLAN, None, ("val", 100, 259)
+    )
+    assert len(files) == 16  # chunks 10..25 overlap [100, 259]
+    assert sum(n for n, _ in collected) == 1 + len(files)
+    assert all("col_stats" not in cols for _, cols in collected)
+
+
+def test_distributed_prune_damage_raises_like_serial(spark, table_10k, monkeypatch):
+    """Damage (size-mismatched chunk 3) raises on BOTH paths, even when
+    pruning would have skipped the damaged chunk."""
+    from mojap_arrow_pd_parser_spark.operators.decode import _live_pruned_files
+
+    for sess in (spark, None):
+        with pytest.raises(IOError, match=r"damaged or incomplete.*3"):
+            _live_pruned_files(
+                sess, table_10k, _PLAN, ("doc09000", "doc09010"), None
+            )
+
+
 def test_small_tables_stay_serial(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "small")
     _write_table(root, 10)
