@@ -13,9 +13,10 @@ Scale notes (the part worth engineering):
   reducer — a single-task bottleneck at 100 TB). Instead the engine's
   deterministic range-bucket planner assigns each doc a bucket, the
   per-bucket token totals (one tiny aggregate, ``n_buckets`` rows)
-  become a driver-side prefix map embedded as a literal lookup, and
-  the within-bucket offset is a window partitioned BY bucket —
-  distributed on every side.
+  prefix-sum over a window on that aggregate alone and broadcast-join
+  back, and the within-bucket offset is a window partitioned BY
+  bucket — distributed on every side, nothing O(n_buckets) in the
+  plan or on the driver.
 * No token is ever exploded on the Spark side: each document
   contributes at most ``spanned sequences`` array slices (JVM
   ``slice``/``sequence`` expressions), and sequences are assembled
@@ -43,35 +44,38 @@ def doc_offsets(
     """Global token-stream offset per document (exclusive prefix sum of
     ``n_tok`` in ``id_col`` order), without a single-reducer sort.
 
-    bucket prefix (tiny collect) + within-bucket window = exact global
-    offsets; every stage is distributed.
+    bucket prefix + within-bucket window = exact global offsets. The
+    per-bucket totals are one tiny aggregate (``n_buckets`` rows);
+    their exclusive prefix sum is a window over THAT aggregate (its
+    single-reducer sort touches only n_buckets rows), and the result
+    joins back with a broadcast — so nothing scales with n_buckets on
+    the driver or in the plan (no ``create_map`` literal: at the ~400k
+    buckets a 100-TB stream needs, a literal lookup would be megabytes
+    of query plan shipped to every task).
     """
     from ..plans.chunking import assign_buckets, make_plan
 
     plan = make_plan(df, id_col, n_buckets, seed=seed)
     b = assign_buckets(df, plan)
-    totals = {
-        r["_bucket"]: r["t"]
-        for r in b.groupBy("_bucket").agg(F.sum(n_tok_col).alias("t")).collect()
-    }
-    prefix: dict[int, int] = {}
-    acc = 0
-    for bid in sorted(totals):
-        prefix[bid] = acc
-        acc += totals[bid] or 0
-    entries = []
-    for bid, off in prefix.items():
-        entries += [F.lit(bid), F.lit(off)]
-    prefix_map = F.create_map(*entries)
+    totals = b.groupBy("_bucket").agg(
+        F.coalesce(F.sum(n_tok_col), F.lit(0)).alias("_t")
+    )
+    pw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_t").over(pw), F.lit(0)).cast("long").alias("_prefix"),
+    )
     w = (
         Window.partitionBy("_bucket")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = F.coalesce(F.sum(n_tok_col).over(w), F.lit(0))
-    return b.withColumn(
-        "tok_start", (prefix_map[F.col("_bucket")] + local).cast("long")
-    ).drop("_bucket")
+    return (
+        b.join(F.broadcast(prefix), "_bucket")
+        .withColumn("tok_start", (F.col("_prefix") + local).cast("long"))
+        .drop("_bucket", "_prefix")
+    )
 
 
 def pack_sequences(

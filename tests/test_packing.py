@@ -71,6 +71,27 @@ class TestPacking:
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             assert "_bucket" in m.group(1), m.group(0)
 
+    def test_offsets_plan_flat_in_n_buckets(self, spark):
+        """High bucket counts (100-TB shape: ~400k) must not embed an
+        O(n_buckets) literal (create_map / boundary array) in the query
+        plan: the prefix map is a broadcast JOIN and bucket assignment
+        is the searchsorted path. Audit the optimized plan directly."""
+        rng = np.random.Generator(np.random.Philox(key=[9, 2]))
+        rows = [
+            (f"d{i:06d}", [1, 2, 3], 3) for i in range(5000)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int"
+        )
+        offs = doc_offsets(spark, df, n_buckets=2000)
+        plan = offs._jdf.queryExecution().toString()
+        assert "create_map" not in plan
+        assert len(plan) < 100_000  # flat, not O(n_buckets) literals
+        # and the offsets are still exact at this bucket count
+        got = {r.doc_id: r.tok_start for r in offs.collect()}
+        assert got[f"d{0:06d}"] == 0
+        assert sorted(got.values()) == [3 * i for i in range(5000)]
+
     def test_vocab_matches_numpy(self, spark, toks):
         got = [(r.token, r.n) for r in token_vocab(toks, k=10).collect()]
         from collections import Counter
