@@ -16,6 +16,8 @@ the types it punts on (list/struct warning at caster.py:367,398-402):
 * string/large_string/binary             -> dict | FSST | plain on bytes
 * list<integer-like> (the tokens column) -> lengths + recursive values
 * dictionary<...>                        -> decoded then re-encoded
+* struct<...>                            -> per-field recursion + validity
+* map<k, v>                              -> lengths + recursive entries
 
 ``meta`` is JSON-serializable; ``payload`` is a single bytes buffer of
 concatenated sections. Null handling: a packed validity-bitmap section;
@@ -197,6 +199,48 @@ def encode_array(
                 values, cascade=None, _outer=False, _parent_cascade=cascade
             )
             w.add("child", vmeta, vpay)
+    elif pa.types.is_struct(t):
+        # The capability the reference warns-and-skips on nested types
+        # (/root/reference/arrow_pd_parser/caster.py:398-402): a struct
+        # is N child columns + the parent validity section — each field
+        # recurses through the same per-column codec selection, so an
+        # int field RLEs, a string field dictionary/FSST-encodes, etc.
+        kind = "struct"
+        meta["fields"] = [
+            {"name": f.name, "nullable": f.nullable} for f in t
+        ]
+        for i in range(t.num_fields):
+            cm, cp = encode_array(
+                arr.field(i), cascade=None, _outer=False, _parent_cascade=cascade
+            )
+            w.add(f"f{i}", cm, cp)
+    elif pa.types.is_map(t):
+        # map = list<entries: struct<key, value>> physically. Encode
+        # through that list view (a plain cast): MapArray's .keys/.items
+        # accessors ignore slices in pyarrow 16, while the list view's
+        # flatten() handles slices and null ranges correctly.
+        kind = "map"
+        storage = arr.cast(
+            pa.list_(
+                pa.field(
+                    "entries",
+                    pa.struct(
+                        [
+                            pa.field("key", t.key_type, nullable=False),
+                            pa.field("value", t.item_type),
+                        ]
+                    ),
+                )
+            )
+        )
+        lengths = pc.fill_null(pc.list_value_length(storage), 0)
+        lm, lp = encode_int(np.asarray(lengths).astype(np.int64))
+        w.add("lengths", lm, lp)
+        entries = storage.flatten()  # struct<key, value>, null-free slots
+        em, ep = encode_array(
+            entries, cascade=None, _outer=False, _parent_cascade=cascade
+        )
+        w.add("entries", em, ep)
     else:
         raise NotImplementedError(f"encode_array: unsupported type {t}")
 
@@ -558,6 +602,42 @@ def decode_array(meta: dict, payload: bytes) -> pa.Array:
                 pa.array(offsets.astype(np.int32), type=pa.int32()), values
             )
         arr = arr.cast(t)
+    elif kind == "struct":
+        children = []
+        fields = []
+        for i, f in enumerate(meta["fields"]):
+            cm, cp = r.get(f"f{i}")
+            child = decode_array(cm, cp)
+            children.append(child)
+            fields.append(pa.field(f["name"], child.type, nullable=f["nullable"]))
+        arr = pa.StructArray.from_arrays(
+            children,
+            fields=fields,
+            mask=pa.array(mask) if mask is not None else None,
+        )
+        if arr.type != t:
+            arr = arr.cast(t)
+        return arr  # validity already applied via mask=
+    elif kind == "map":
+        lm, lp = r.get("lengths")
+        lens = decode_int(lm, lp).astype(np.int64)
+        em, ep = r.get("entries")
+        entries = decode_array(em, ep)  # struct<key, value>
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        if mask is not None:
+            # a null at offsets position i marks map entry i null
+            # (Arrow's MapArray.from_arrays null convention); the final
+            # offset is never null
+            off_mask = np.concatenate((mask, [False]))
+            off_arr = pa.array(offsets, type=pa.int32(), mask=off_mask)
+        else:
+            off_arr = pa.array(offsets, type=pa.int32())
+        arr = pa.MapArray.from_arrays(
+            off_arr, entries.field(0), entries.field(1)
+        )
+        if arr.type != t:
+            arr = arr.cast(t)
+        return arr  # validity applied via the null offsets
     else:
         raise NotImplementedError(f"decode_array: unsupported kind {kind}")
 
@@ -631,7 +711,37 @@ def _parse_type(s: str) -> pa.DataType:
     if s.startswith("large_list<") and s.endswith(">"):
         name, inner = _split_field(s[11:-1])
         return pa.large_list(pa.field(name, _parse_type(inner)))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, typ = part.partition(": ")
+            nullable = True
+            if typ.endswith(" not null"):
+                typ, nullable = typ[: -len(" not null")], False
+            fields.append(pa.field(name, _parse_type(typ), nullable=nullable))
+        return pa.struct(fields)
+    if s.startswith("map<") and s.endswith(">"):
+        kt, vt = _split_top(s[4:-1])
+        return pa.map_(_parse_type(kt), _parse_type(vt))
     raise NotImplementedError(f"cannot parse arrow type string: {s}")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split ``a: int64, b: struct<c: int64, d: string>`` at top-level
+    commas only (angle-bracket depth tracked)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
 def _split_field(inner: str) -> tuple[str, str]:

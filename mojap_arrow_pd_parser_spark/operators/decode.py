@@ -340,6 +340,51 @@ def decode_rows_df(
     return enc.mapInArrow(decode_partition, schema=out_schema)
 
 
+def _contains_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _canonical(col, dt):
+    """Deterministically comparable view of a column: every MAP (at any
+    nesting depth) becomes its key-sorted entries array. Spark forbids
+    both hashing and equality on map types because map iteration order
+    is unspecified — the sorted-entries view carries the same value
+    with an orderable, hashable type. Non-map-bearing columns pass
+    through untouched."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if not _contains_map(dt):
+        return col
+    if isinstance(dt, MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                _canonical(e["value"], dt.valueType).alias("value"),
+            ),
+        )
+        return F.array_sort(entries)
+    if isinstance(dt, ArrayType):
+        return F.transform(col, lambda e: _canonical(e, dt.elementType))
+    if isinstance(dt, StructType):
+        rebuilt = F.struct(
+            *[
+                _canonical(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)  # keep null struct slots
+    return col
+
+
 def _row_digest_agg(df: DataFrame, cols: list[str]):
     """Order-insensitive multiset digest: count + sum of per-row hashes.
 
@@ -347,8 +392,10 @@ def _row_digest_agg(df: DataFrame, cols: list[str]):
     reordering) make a forged collision astronomically unlikely while
     keeping the check one narrow scan with NO shuffle/join.
     """
-    h1 = F.xxhash64(*[F.col(c) for c in cols])
-    h2 = F.xxhash64(*[F.col(c) for c in reversed(cols)], F.lit(0x5EED))
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    canon = [_canonical(F.col(c), by_name[c]) for c in cols]
+    h1 = F.xxhash64(*canon)
+    h2 = F.xxhash64(*list(reversed(canon)), F.lit(0x5EED))
     # decimal(38,0) accumulators: exact, no ANSI long-overflow
     return df.agg(
         F.count(F.lit(1)).alias("rows"),
@@ -381,6 +428,7 @@ def verify_roundtrip(
             return {"rows": a["rows"], "mismatches": 0}
         # fall through to the deep check to locate the mismatch
     cmp_cols = [c for c in cols if c != key]
+    by_name = {f.name: f.dataType for f in original.schema.fields}
     o = original.alias("o")
     d = decoded.alias("d")
     joined = o.join(d, F.col(f"o.{key}") == F.col(f"d.{key}"), "full_outer")
@@ -388,7 +436,10 @@ def verify_roundtrip(
         F.col(f"o.{key}").isNull() | F.col(f"d.{key}").isNull()
     )
     for c in cmp_cols:
-        mismatch_cond = mismatch_cond | ~F.col(f"o.{c}").eqNullSafe(F.col(f"d.{c}"))
+        dt = by_name[c]
+        lhs = _canonical(F.col(f"o.{c}"), dt)
+        rhs = _canonical(F.col(f"d.{c}"), dt)
+        mismatch_cond = mismatch_cond | ~lhs.eqNullSafe(rhs)
     agg = joined.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.when(mismatch_cond, 1).otherwise(0)).alias("mismatches"),

@@ -1538,6 +1538,86 @@ ORDER BY split
 """
 
 
+def _build_q41_artifacts(spark) -> tuple[str, str]:
+    """(src, dec) parquet dirs for the struct-bearing table: the
+    deterministic tokens table extended with a nested ``meta`` struct
+    (string + int + int-array fields, nulls every 7th row), pushed
+    through encode -> decode. Oracle-side, DuckDB reads the SOURCE and
+    the DECODED parquet independently — agreement proves the struct
+    codec round-trip with a second engine."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_table
+
+    src_dir = f"{ARTIFACT_DIR}/q41_src"
+    enc_dir = f"{ARTIFACT_DIR}/q41_enc"
+    dec_dir = f"{ARTIFACT_DIR}/q41_dec"
+    src = tokens_table(spark, 1500, seed=321, avg_len=32).withColumn(
+        "meta",
+        F.when(
+            F.col("n_tok") % 7 != 0,
+            F.struct(
+                F.col("source").alias("src"),
+                (F.col("n_tok") * 2).cast("long").alias("dbl"),
+                F.array(F.lit(1), F.col("n_tok")).alias("arr"),
+            ),
+        ),
+    )
+    src.write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(spark, spark.read.parquet(src_dir), enc_dir, key="doc_id", n_chunks=4)
+    decode_table(spark, enc_dir).write.mode("overwrite").parquet(dec_dir)
+    return src_dir, dec_dir
+
+
+def _ensure_q41_artifacts(spark) -> tuple[str, str]:
+    from .operators.encode import scan_done_chunks
+    from .sources import fsio
+
+    dirs = (f"{ARTIFACT_DIR}/q41_src", f"{ARTIFACT_DIR}/q41_dec")
+    try:
+        ok = (
+            len(scan_done_chunks(f"{ARTIFACT_DIR}/q41_enc")) == 4
+            and fsio.exists(f"{dirs[0]}/_SUCCESS")
+            and fsio.exists(f"{dirs[1]}/_SUCCESS")
+        )
+    except OSError:
+        ok = False
+    return dirs if ok else _build_q41_artifacts(spark)
+
+
+def q41_struct_roundtrip(spark, sf):
+    """Struct-column codec round-trip (the nested-type capability the
+    reference warns-and-skips, caster.py:398-402): aggregate the
+    DECODED table by a struct field; the oracle computes the same
+    aggregate from the SOURCE parquet — equal results mean
+    decode(encode(x)) preserved every struct field, null slots
+    included, as certified by a second engine."""
+    _src, dec_dir = _ensure_q41_artifacts(spark)
+    dec = spark.read.parquet(dec_dir)
+    return (
+        dec.groupBy(F.col("meta.src").alias("src_grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("meta.dbl").cast("long").alias("sum_dbl"),
+            F.sum(F.element_at("meta.arr", 2)).cast("long").alias("sum_arr2"),
+        )
+        .orderBy(F.col("src_grp").asc_nulls_first())
+    )
+
+
+SQL_Q41 = f"""
+SELECT struct_extract(meta, 'src') AS src_grp,
+       COUNT(*) AS n_docs,
+       CAST(SUM(struct_extract(meta, 'dbl')) AS BIGINT) AS sum_dbl,
+       CAST(SUM(struct_extract(meta, 'arr')[2]) AS BIGINT) AS sum_arr2
+FROM read_parquet('{ARTIFACT_DIR}/q41_src/*.parquet')
+GROUP BY 1 ORDER BY src_grp NULLS FIRST
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -1579,4 +1659,5 @@ QUERIES = {
     "q38_contamination": (q38_contamination, SQL_Q38),
     "q39_hash_split": (q39_hash_split, SQL_Q39),
     "q40_column_pruned_decode": (q40_column_pruned_decode, SQL_Q40),
+    "q41_struct_roundtrip": (q41_struct_roundtrip, SQL_Q41),
 }

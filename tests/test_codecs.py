@@ -216,6 +216,65 @@ class TestColumnCodec:
     def test_large_list(self):
         _arrow_roundtrip(pa.array([[1, 2], None, []], type=pa.large_list(pa.int64())))
 
+    def test_struct(self):
+        t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+        _arrow_roundtrip(pa.array(
+            [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, None,
+             {"a": None, "b": "z"}] * 50, type=t))
+        _arrow_roundtrip(pa.array([], type=t))
+        # per-field codec selection still applies inside the struct:
+        # a low-cardinality string field dictionary-encodes
+        big = pa.array(
+            [{"a": i % 5, "b": f"s{i % 7}"} for i in range(50_000)], type=t
+        )
+        meta, payload = _arrow_roundtrip(big)
+        assert len(payload) < 0.01 * big.nbytes
+
+    def test_struct_nested(self):
+        t = pa.struct([
+            ("xs", pa.list_(pa.int64())),
+            ("inner", pa.struct([("q", pa.float64())])),
+        ])
+        _arrow_roundtrip(pa.array(
+            [{"xs": [1, 2, 3], "inner": {"q": 1.5}},
+             {"xs": [], "inner": None}, None] * 40, type=t))
+        # struct inside list (multimodal-metadata shape)
+        lt = pa.list_(pa.struct([("k", pa.int32()), ("v", pa.string())]))
+        _arrow_roundtrip(pa.array(
+            [[{"k": 1, "v": "a"}], [], None,
+             [{"k": None, "v": None}, {"k": 3, "v": "c"}]] * 40, type=lt))
+        # non-nullable field survives the type string round-trip
+        nt = pa.struct([pa.field("req", pa.int64(), nullable=False)])
+        _arrow_roundtrip(pa.array([{"req": 1}, {"req": 2}], type=nt))
+
+    def test_struct_temporal_binary_bool_fields(self):
+        import datetime as dtm
+        t = pa.struct([
+            ("ts", pa.timestamp("us")), ("raw", pa.binary()),
+            ("flag", pa.bool_()),
+        ])
+        _arrow_roundtrip(pa.array(
+            [{"ts": dtm.datetime(2024, 1, 1), "raw": b"\x00\x01",
+              "flag": True}, None] * 30, type=t))
+
+    def test_map(self):
+        t = pa.map_(pa.string(), pa.int64())
+        _arrow_roundtrip(pa.array(
+            [{"a": 1, "b": 2}, {}, None, {"c": None}] * 40, type=t))
+        _arrow_roundtrip(pa.array([], type=t))
+        _arrow_roundtrip(pa.array(
+            [[("k", {"z": 1.0})]],
+            type=pa.map_(pa.string(), pa.struct([("z", pa.float64())]))))
+
+    def test_struct_map_sliced(self):
+        t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+        s = pa.array([{"a": i, "b": str(i)} if i % 3 else None
+                      for i in range(200)], type=t)
+        _arrow_roundtrip(s.slice(7, 101))
+        m = pa.array([{"k": i} if i % 4 else None for i in range(160)],
+                     type=pa.map_(pa.string(), pa.int64()))
+        _arrow_roundtrip(m.slice(3, 77))
+
     def test_tokens_regimes_compress(self):
         """Synthetic per-regime token chunks must beat plain bytes."""
         run = np.repeat(RNG.integers(0, 50000, 100), RNG.integers(10, 100, 100)).astype(np.int32)

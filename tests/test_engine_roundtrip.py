@@ -49,6 +49,48 @@ def test_encode_decode_roundtrip(spark, src, tmp_path):
     assert result == {"rows": N_DOCS, "mismatches": 0}
 
 
+def test_struct_map_columns_roundtrip(spark, src, tmp_path):
+    """Nested struct/map columns (multimodal-metadata shape — the
+    capability the reference warns-and-skips at caster.py:398-402)
+    ride through encode -> decode bit-identically, on both the digest
+    and the deep-join verify paths."""
+    from pyspark.sql import functions as F
+
+    nested = src.withColumn(
+        "meta",
+        F.when(
+            F.col("n_tok") % 7 != 0,
+            F.struct(
+                F.col("source").alias("src"),
+                (F.col("n_tok") * 2).alias("dbl"),
+                F.array(F.lit(1), F.col("n_tok")).alias("arr"),
+            ),
+        ),
+    ).withColumn(
+        "props",
+        F.when(
+            F.col("n_tok") % 5 != 0,
+            F.create_map(
+                F.lit("len"), F.col("n_tok").cast("long"),
+                F.lit("x2"), (F.col("n_tok") * 2).cast("long"),
+            ),
+        ),
+    )
+    out = str(tmp_path / "enc_nested")
+    encode_table(spark, nested, out, key="doc_id", n_chunks=4)
+    assert verify_roundtrip(spark, nested, out) == {
+        "rows": N_DOCS, "mismatches": 0,
+    }
+    assert verify_roundtrip(spark, nested, out, deep=True) == {
+        "rows": N_DOCS, "mismatches": 0,
+    }
+    d = decode_table(spark, out, columns=["doc_id", "meta", "props"])
+    assert d.schema["meta"].dataType.simpleString() == (
+        "struct<src:string,dbl:int,arr:array<int>>"
+    )
+    assert d.schema["props"].dataType.simpleString() == "map<string,bigint>"
+
+
 def test_column_pruned_decode(spark, src, tmp_path):
     out = str(tmp_path / "enc")
     encode_table(spark, src, out, key="doc_id", n_chunks=4)
