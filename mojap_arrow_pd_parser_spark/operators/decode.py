@@ -95,15 +95,32 @@ def decode_table(
                 [f for f in out_schema.fields if f.name not in dropped]
             )
             return spark.createDataFrame([], empty_schema)
-        enc = spark.read.parquet(
-            *[fsio.join(out_dir, "chunks", f) for f in keep_files]
-        )
+        paths = [fsio.join(out_dir, "chunks", f) for f in keep_files]
     else:
         # no sidecars (foreign writer) -> fall back to the directory
-        enc = spark.read.parquet(fsio.join(out_dir, "chunks"))
-    enc = enc.filter(F.col("column").isin(names)).select(
-        "chunk_id", "column", "meta", "payload", "crc32"
-    )
+        paths = None
+    from .encode import jvm_handles_scheme
+
+    if jvm_handles_scheme(spark, out_dir):
+        enc = (
+            spark.read.parquet(*paths)
+            if paths is not None
+            else spark.read.parquet(fsio.join(out_dir, "chunks"))
+        )
+        enc = enc.filter(F.col("column").isin(names)).select(
+            "chunk_id", "column", "meta", "payload", "crc32"
+        )
+    else:
+        # object store without a JVM connector (e.g. s3:// and no
+        # hadoop-aws): distributed pyarrow read — executors open their
+        # chunk files directly, same scaling shape as the JVM scan
+        if paths is None:
+            paths = [
+                fsio.join(out_dir, "chunks", f)
+                for f, _sz in fsio.list_files(fsio.join(out_dir, "chunks"))
+                if f.endswith(".parquet")
+            ]
+        enc = _read_enc_rows_arrow(spark, paths, names)
 
     decoded = decode_rows_df(enc, out_schema, verify_checksums)
     if key_range is not None and key in [f.name for f in out_schema.fields]:
@@ -116,6 +133,58 @@ def decode_table(
         if where_added:  # the column was only pulled in for the filter
             decoded = decoded.drop(col)
     return decoded
+
+
+#: projection of a chunk file the decode consumes (codec/n_rows/...
+#: byte-accounting columns pruned at the parquet read on both paths)
+_ENC_ROWS_SCHEMA = (
+    "chunk_id int, column string, meta string, payload binary, crc32 string"
+)
+
+
+def _read_enc_rows_arrow(
+    spark: SparkSession, paths: list[str], names: list[str]
+) -> DataFrame:
+    """Encoded-rows DataFrame via DISTRIBUTED pyarrow parquet reads, for
+    chunk URIs the JVM has no FileSystem for. The driver ships only
+    file names; each task opens its files through ``pyarrow.fs`` (the
+    same endpoint/credential resolution as fsio's write path), pushing
+    the column projection AND the ``column IN names`` filter into the
+    parquet read so unqueried payloads are never fetched. One file's
+    batches stream contiguously, preserving the chunk-contiguity
+    decode_rows_df's regroup relies on."""
+    sel = list(names)
+
+    def read_files(batches):
+        import pyarrow.parquet as _pq
+
+        target = pa.schema(
+            [
+                ("chunk_id", pa.int32()),
+                ("column", pa.string()),
+                ("meta", pa.string()),
+                # Spark's BinaryType arrow mapping (batches from a
+                # chunk file total ~MBs — far under binary's 2 GiB cap)
+                ("payload", pa.binary()),
+                ("crc32", pa.string()),
+            ]
+        )
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                fs, p = fsio.resolve(path)
+                t = _pq.read_table(
+                    p,
+                    filesystem=fs,
+                    columns=["chunk_id", "column", "meta", "payload", "crc32"],
+                    filters=[("column", "in", sel)],
+                )
+                yield from t.cast(target).to_batches()
+
+    fdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    fdf = fdf.repartition(
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    )
+    return fdf.mapInArrow(read_files, schema=_ENC_ROWS_SCHEMA)
 
 
 def _live_pruned_files(

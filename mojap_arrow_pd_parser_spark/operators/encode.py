@@ -67,6 +67,29 @@ CHUNK_FILE_SCHEMA = pa.schema(
 )
 
 
+def jvm_handles_scheme(spark: SparkSession, path: str) -> bool:
+    """True when the JVM can resolve ``path``'s Hadoop FileSystem
+    (local paths always; ``s3://``/``s3a://`` only with hadoop-aws on
+    the classpath). Callers fall back to distributed pyarrow I/O —
+    same credentials/endpoint resolution as the fsio write path — when
+    this is False, so an encode/decode round trip works against an
+    object store even on a Spark build without the S3A connector."""
+    if "://" not in path or path.startswith("file://"):
+        return True
+    scheme = path.split("://", 1)[0]
+    if scheme == "s3":  # pyarrow scheme; Hadoop only knows s3a
+        path = "s3a://" + path[len("s3://"):]
+    try:
+        jvm = spark._jvm
+        uri = jvm.java.net.URI(path)
+        jvm.org.apache.hadoop.fs.FileSystem.get(
+            uri, spark._jsc.hadoopConfiguration()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _codec_label(meta: dict) -> str:
     if meta.get("str_codec"):
         return meta["str_codec"]
@@ -399,6 +422,16 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
     if cons is None:
         return mdf.limit(0)
     if consolidate:
+        if not jvm_handles_scheme(spark, out_dir):
+            # object store without a JVM connector: the consolidated
+            # manifest is tiny (one row per chunk) — commit it from
+            # the driver with one atomic put and return the in-memory
+            # view (spark.read can't reach the scheme either)
+            fsio.write_parquet_atomic(
+                pa.concat_tables([_manifest_batch(m) for m in rows]),
+                fsio.join(out_dir, "manifest.parquet", "part-00000.parquet"),
+            )
+            return cons
         cons.coalesce(1).write.mode("overwrite").parquet(
             fsio.join(out_dir, "manifest.parquet")
         )

@@ -13,7 +13,13 @@ Commit semantics per filesystem:
 * object stores (S3 et al.) — ONE direct put: an S3 object is
   invisible until the PUT completes, so the put itself is the atomic
   commit (S3 has no rename; copy+delete would *weaken* atomicity,
-  not provide it).
+  not provide it). Objects ≤ ``_SINGLE_PUT_MAX`` (5 GiB, the S3
+  single-PUT ceiling — every engine chunk, sized ~256 MB, is far
+  below it) go through one ``put_object`` call when boto3 is
+  importable; larger objects (or no boto3) stream through pyarrow's
+  multipart writer. The single put is both the stronger commit (no
+  CompleteMultipartUpload window) and the testable one (pyarrow 16's
+  multipart CompleteMultipartUpload is incompatible with moto 5).
 
 Either way the engine's file-then-metadata ordering (chunk file
 durable before its manifest sidecar exists) is what makes a killed
@@ -34,6 +40,42 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyarrow import fs as pafs
+
+
+_SINGLE_PUT_MAX = 5 * 1024**3  # S3 single-PUT object-size ceiling
+
+
+def _s3_single_put(fs_path: str, data: bytes) -> bool:
+    """Commit ``data`` at the S3-internal path ``bucket/key`` with ONE
+    ``put_object`` (atomic: the object is invisible until the PUT
+    returns). Returns False when boto3 is unavailable so the caller
+    falls back to pyarrow's multipart stream."""
+    if len(data) > _SINGLE_PUT_MAX:
+        return False
+    client = _s3_client()
+    if client is None:
+        return False
+    bucket, _, key = fs_path.partition("/")
+    client.put_object(Bucket=bucket, Key=key, Body=data)
+    return True
+
+
+_S3_CLIENT = None
+
+
+def _s3_client():
+    """Process-cached boto3 S3 client (one per executor worker), or
+    None without boto3. boto3 honors AWS_ENDPOINT_URL /
+    AWS_DEFAULT_REGION env natively, so the same endpoint/credential
+    resolution pyarrow's S3FileSystem applied governs the put."""
+    global _S3_CLIENT
+    if _S3_CLIENT is None:
+        try:
+            import boto3
+        except ImportError:
+            return None
+        _S3_CLIENT = boto3.client("s3")
+    return _S3_CLIENT
 
 
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
@@ -102,7 +144,7 @@ def write_bytes_atomic(path: str, data: bytes) -> int:
         with fs.open_output_stream(tmp) as f:
             f.write(data)
         fs.move(tmp, p)
-    else:
+    elif not (isinstance(fs, pafs.S3FileSystem) and _s3_single_put(p, data)):
         with fs.open_output_stream(p) as f:
             f.write(data)
     return len(data)
@@ -125,6 +167,15 @@ def write_parquet_atomic(table: pa.Table, path: str, compression: str = "none") 
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}-{base}")
         pq.write_table(table, tmp, compression=compression)
         fs.move(tmp, p)
+    elif isinstance(fs, pafs.S3FileSystem):
+        # serialize to one buffer, commit with one put (chunks are
+        # ~256 MB by construction — far under the 5 GiB put ceiling)
+        buf = pa.BufferOutputStream()
+        pq.write_table(table, buf, compression=compression)
+        data = buf.getvalue().to_pybytes()
+        if not _s3_single_put(p, data):
+            with fs.open_output_stream(p) as f:
+                f.write(data)
     else:
         pq.write_table(table, p, filesystem=fs, compression=compression)
     size = file_size(path)

@@ -1,15 +1,16 @@
 """Object-store I/O layer: commit protocol on local paths, file://
-URIs end-to-end through the engine, and S3 (moto server) for the
-driver-side scan/resume path.
+URIs end-to-end through the engine, and S3 (moto server) for BOTH the
+scan/resume path and the write path.
 
 The reference's moto-backed writer tests
 (/root/reference/tests/test_writer_api.py:278-298) are the model: a
 mocked S3 endpoint, engine file ops against s3:// URIs. pyarrow 16's
 S3 *writer* cannot complete a multipart upload against moto 5 (a
-known arrow<->moto CompleteMultipartUpload incompatibility), so the
-write-side objects are seeded with boto3 and the engine's READ/scan/
-resume path — the part that breaks on a real cluster when file ops
-assume POSIX — is exercised through fsio/scan_done_chunks.
+known arrow<->moto CompleteMultipartUpload incompatibility); fsio
+commits S3 objects ≤ 5 GiB with ONE boto3 put_object instead — the
+stronger atomic commit and the testable one — so the engine's write
+side runs end-to-end here (TestS3WritePath), alongside the read/scan/
+resume coverage the earlier rounds had.
 """
 
 from __future__ import annotations
@@ -77,33 +78,26 @@ class TestFileUriRoundTrip:
 
 @pytest.fixture(scope="module")
 def moto_s3():
+    """Moto S3 server on the FIXED port conftest.py exported into the
+    environment at import time — before the JVM (whose python-worker
+    daemons inherit that env) could have been spawned, so executor-side
+    fsio puts/reads resolve the same endpoint as the driver."""
     try:
         from moto.server import ThreadedMotoServer
     except ImportError:
         pytest.skip("moto not installed")
-    server = ThreadedMotoServer(port=0)
+    from .conftest import MOTO_PORT
+
+    if os.environ.get("AWS_ENDPOINT_URL") != f"http://127.0.0.1:{MOTO_PORT}":
+        pytest.skip("real AWS environment present; not overriding it")
+    server = ThreadedMotoServer(port=MOTO_PORT)
     server.start()
-    port = server._server.socket.getsockname()[1]
-    old = {k: os.environ.get(k) for k in (
-        "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY", "AWS_ENDPOINT_URL",
-        "AWS_DEFAULT_REGION", "AWS_EC2_METADATA_DISABLED",
-    )}
-    os.environ.update(
-        AWS_ACCESS_KEY_ID="test", AWS_SECRET_ACCESS_KEY="test",
-        AWS_ENDPOINT_URL=f"http://127.0.0.1:{port}",
-        AWS_DEFAULT_REGION="us-east-1", AWS_EC2_METADATA_DISABLED="true",
-    )
     import boto3
 
     client = boto3.client("s3")
     client.create_bucket(Bucket="engine-test")
     yield client
     server.stop()
-    for k, v in old.items():
-        if v is None:
-            os.environ.pop(k, None)
-        else:
-            os.environ[k] = v
 
 
 class TestS3ScanPath:
@@ -140,3 +134,74 @@ class TestS3ScanPath:
     def test_s3a_scheme_maps_to_pyarrow_s3(self, moto_s3):
         moto_s3.put_object(Bucket="engine-test", Key="h/x.bin", Body=b"12345")
         assert fsio.file_size("s3a://engine-test/h/x.bin") == 5
+
+
+class TestS3WritePath:
+    """The WRITE half of the object-store commit protocol, end-to-end
+    against moto: single-put commits (pyarrow 16 multipart cannot
+    complete against moto 5 — fsio routes S3 objects <= 5 GiB through
+    one put_object, the stronger commit anyway), then the whole engine
+    dataflow (encode -> sidecars -> resume -> decode -> verify) against
+    s3:// URIs, exercising the distributed pyarrow chunk-read fallback
+    a Spark build without hadoop-aws needs. Mirrors the reference's
+    moto-backed writer tests (tests/test_writer_api.py:278-298)."""
+
+    def test_write_bytes_single_put(self, moto_s3):
+        p = "s3://engine-test/wr/a.json"
+        n = fsio.write_bytes_atomic(p, b'{"k": 2}')
+        assert n == 8
+        assert fsio.read_json(p) == {"k": 2}
+        assert fsio.file_size(p) == 8
+
+    def test_write_parquet_single_put_reports_final_size(self, moto_s3):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({"x": [1, 2, 3], "s": ["a", None, "c"]})
+        p = "s3://engine-test/wr/t.parquet"
+        size = fsio.write_parquet_atomic(t, p)
+        assert size == fsio.file_size(p) > 0
+        fs, ip = fsio.resolve(p)
+        assert pq.read_table(ip, filesystem=fs).equals(t)
+
+    def test_encode_decode_verify_on_s3(self, spark, moto_s3):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, verify_roundtrip,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, scan_done_chunks,
+        )
+
+        out = "s3://engine-test/enc-e2e"
+        src = tokens_table(spark, 400, seed=7)
+        encode_table(spark, src, out, key="doc_id", n_chunks=4)
+        done = scan_done_chunks(out)
+        assert len(done) == 4
+        # chunk objects committed at exactly the recorded sidecar size
+        for m in done.values():
+            assert fsio.file_size(f"{out}/chunks/{m['file']}") == m["file_bytes"]
+        # decode via the distributed pyarrow fallback (no hadoop-aws jars)
+        assert decode_table(spark, out).count() == 400
+        assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+        # consolidated manifest committed driver-side (JVM can't write s3)
+        assert fsio.exists(f"{out}/manifest.parquet/part-00000.parquet")
+
+    def test_resume_on_s3_reencodes_only_missing_bucket(self, spark, moto_s3):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, scan_done_chunks,
+        )
+
+        out = "s3://engine-test/enc-resume"
+        src = tokens_table(spark, 300, seed=9)
+        encode_table(spark, src, out, key="doc_id", n_chunks=3)
+        before = {c: m["crc32"] for c, m in scan_done_chunks(out).items()}
+        assert len(before) == 3
+        # simulate a killed run: chunk 1's sidecar never became durable
+        moto_s3.delete_object(
+            Bucket="engine-test", Key="enc-resume/manifest/00001.json"
+        )
+        encode_table(spark, src, out, key="doc_id", n_chunks=3)
+        after = {c: m["crc32"] for c, m in scan_done_chunks(out).items()}
+        assert after == before  # deterministic re-encode of exactly bucket 1
