@@ -202,3 +202,32 @@ def length_histogram(
         )
         .orderBy("len_bucket")
     )
+
+
+def oov_against_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token counts against a fixed
+    vocabulary (e.g. ``token_vocab(df, k)``'s top-k).
+
+    Returns (id, n_tok, n_oov) — the OOV rate is ``n_oov / n_tok``.
+    The vocabulary is tiny by construction (top-k), so membership is a
+    BROADCAST left join against the exploded token stream followed by
+    one per-doc partially-aggregated count — no shuffle of the corpus
+    beyond the per-doc aggregation, flat at 100-TB corpus scale.
+    """
+    v = vocab.select(F.col("token").alias("_vtok")).withColumn("_in", F.lit(1))
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("token"))
+    return (
+        tok.join(F.broadcast(v), tok.token == v._vtok, "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )

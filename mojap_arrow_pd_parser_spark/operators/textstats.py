@@ -156,3 +156,69 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, F.col(f"s_{lang}")).otherwise(best_score)
     return scored.select(id_col, best.alias("lang_guess"), *[f"s_{lang}" for lang in langs])
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition signals.
+
+    Per document: word count, the most frequent word (count-desc,
+    word-asc tie-break) with the characters it accounts for, total
+    word characters, and total vs distinct n-gram occurrence counts.
+    Everything returned is an integer (oracle-hash stable); the
+    fractions the published repetition filters threshold on are
+    ``top_word_chars / total_word_chars`` and
+    ``(n_grams - n_distinct_grams) / n_grams``.
+
+    Dataflow: one explode into (doc, word) pairs, partially-aggregated
+    groupBys keyed on (doc, word) / (doc, gram), and a per-doc
+    row_number window for the top word — every exchange is keyed by
+    the document id, so there are no self-joins and no corpus-wide
+    windows; the plan is flat in corpus size. (The reference has no
+    text analysis at all; this extends the same q13-q15 suite.)
+    """
+    from pyspark.sql import Window
+
+    from .dedup import word_shingles
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    wf = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("w"))
+    top = (
+        wf.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            F.col("w").alias("top_word"),
+            (F.col("n") * F.length("w")).cast("long").alias("top_word_chars"),
+        )
+    )
+    totals = wf.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.length("w")).cast("long").alias("total_word_chars"),
+    )
+    grams = word_shingles(df, text_col, id_col, ngram_n, distinct=False)
+    gstats = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count_distinct("shingle").cast("long").alias("n_distinct_grams"),
+    )
+    return (
+        totals.join(top, "id")
+        .join(gstats, "id")
+        .select(
+            "id",
+            "n_words",
+            "top_word",
+            "top_word_chars",
+            "total_word_chars",
+            "n_grams",
+            "n_distinct_grams",
+        )
+    )

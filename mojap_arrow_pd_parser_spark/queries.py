@@ -1618,6 +1618,112 @@ GROUP BY 1 ORDER BY src_grp NULLS FIRST
 """
 
 
+def q42_repetition_signals(spark, sf):
+    """Gopher/MassiveText within-document repetition signals over the
+    documents table: top-word character share and duplicate-trigram
+    occurrence counts, all-integer output. One explode + doc-keyed
+    aggregations; no corpus-wide window or self-join."""
+    return textstats.repetition_signals(
+        _t(spark, sf, "documents"), ngram_n=3
+    ).orderBy("id")
+
+
+SQL_Q42 = """
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT id, unnest(string_split(t, ' ')) AS w FROM docs),
+wf AS (
+  SELECT id, w, COUNT(*) AS n FROM words WHERE length(w) > 0 GROUP BY id, w
+),
+top AS (
+  SELECT id, w AS top_word, CAST(n * length(w) AS BIGINT) AS top_word_chars,
+         row_number() OVER (PARTITION BY id ORDER BY n DESC, w) AS rn
+  FROM wf
+),
+tot AS (
+  SELECT id, CAST(SUM(n) AS BIGINT) AS n_words,
+         CAST(SUM(n * length(w)) AS BIGINT) AS total_word_chars
+  FROM wf GROUP BY id
+),
+ws AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM ws, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+gs AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_grams
+  FROM grams GROUP BY id
+)
+SELECT tot.id, n_words, top_word, top_word_chars, total_word_chars,
+       n_grams, n_distinct_grams
+FROM tot
+JOIN top ON top.id = tot.id AND top.rn = 1
+JOIN gs ON gs.id = tot.id
+ORDER BY tot.id
+"""
+
+
+def q43_oov_rate(spark, sf):
+    """Per-document out-of-vocabulary counts vs the top-50 token vocab
+    (broadcast membership join on the exploded token stream, then one
+    per-doc partial-agg count)."""
+    from .operators.packing import oov_against_vocab, token_vocab
+
+    src_dir, _, _ = _ensure_q20_artifacts(spark)
+    toks = spark.read.parquet(src_dir)
+    return oov_against_vocab(toks, token_vocab(toks, k=50)).orderBy("id")
+
+
+SQL_Q43 = f"""
+WITH vocab AS (
+  SELECT token FROM (
+    SELECT unnest(tokens) AS token
+    FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet')
+  ) GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 50
+),
+tok AS (
+  SELECT doc_id AS id, unnest(tokens) AS token
+  FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet')
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov
+FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+GROUP BY id ORDER BY id
+"""
+
+
+def q44_stratified_sample(spark, sf):
+    """Deterministic 5-per-source stratified sample: md5-hash-order
+    row_number within each stratum (engine-portable selection; the
+    rank makes nested subsamples free)."""
+    from .operators.sampling import stratified_sample
+
+    s = stratified_sample(_t(spark, sf, "documents"), "source", 5, id_col="doc_id")
+    return s.select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    ).orderBy("source", "sample_rank")
+
+
+SQL_Q44 = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -1660,4 +1766,7 @@ QUERIES = {
     "q39_hash_split": (q39_hash_split, SQL_Q39),
     "q40_column_pruned_decode": (q40_column_pruned_decode, SQL_Q40),
     "q41_struct_roundtrip": (q41_struct_roundtrip, SQL_Q41),
+    "q42_repetition_signals": (q42_repetition_signals, SQL_Q42),
+    "q43_oov_rate": (q43_oov_rate, SQL_Q43),
+    "q44_stratified_sample": (q44_stratified_sample, SQL_Q44),
 }

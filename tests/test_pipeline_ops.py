@@ -460,3 +460,109 @@ def test_entry_smoke(spark):
     assert len(rows) >= 1
     assert all(r.status == "ok" for r in rows)
     assert all(r.rt_mismatches == 0 for r in rows)
+
+
+class TestRepetitionSignals:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # "a a a b" -> top word 'a' (3 chars of 5); trigrams:
+                # "a a a", "a a b" -> 2 total, 2 distinct
+                (1, "a a a b"),
+                # all-duplicate trigrams: "x y x y x y" -> grams
+                # [x y x, y x y, x y x, y x y] -> 4 total, 2 distinct
+                (2, "x y x y x y"),
+                # short doc (< n words): one truncated gram
+                (3, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_signals_by_hand(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.textstats import (
+            repetition_signals,
+        )
+
+        out = {
+            r.id: r
+            for r in repetition_signals(self._docs(spark), ngram_n=3).collect()
+        }
+        r1 = out[1]
+        assert (r1.n_words, r1.top_word, r1.top_word_chars) == (4, "a", 3)
+        assert (r1.total_word_chars, r1.n_grams, r1.n_distinct_grams) == (4, 2, 2)
+        r2 = out[2]
+        assert (r2.n_grams, r2.n_distinct_grams) == (4, 2)
+        r3 = out[3]
+        assert (r3.n_words, r3.top_word, r3.n_grams) == (1, "solo", 1)
+
+    def test_top_word_tiebreak_asc(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.textstats import (
+            repetition_signals,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "bb aa bb aa")], "doc_id long, text string"
+        )
+        r = repetition_signals(df).collect()[0]
+        assert r.top_word == "aa"  # count tie (2-2) -> lexicographic
+
+
+class TestOovRate:
+    def test_oov_counts(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.packing import (
+            oov_against_vocab, token_vocab,
+        )
+
+        df = spark.createDataFrame(
+            [("d1", [1, 1, 2, 9]), ("d2", [9, 9]), ("d3", [1, 2])],
+            "doc_id string, tokens array<int>",
+        )
+        # top-2 vocab by count desc, token asc: 9 (n=3), 1 (n=3) -> tie
+        # broken ascending -> vocab = {1, 9}; 2 is OOV
+        vocab = token_vocab(df, k=2)
+        assert {r.token for r in vocab.collect()} == {1, 9}
+        out = {r.id: (r.n_tok, r.n_oov) for r in oov_against_vocab(df, vocab).collect()}
+        assert out == {"d1": (4, 1), "d2": (2, 0), "d3": (2, 1)}
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_stratum_and_nesting(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        s5 = stratified_sample(df, "source", 5).collect()
+        per = {}
+        for r in s5:
+            per.setdefault(r.source, set()).add((r.sample_rank, r.doc_id))
+        assert all(len(v) == 5 for v in per.values())
+        # deterministic + nested: the 3-sample is a prefix of the 5-sample
+        s3 = stratified_sample(df, "source", 3).collect()
+        got3 = {(r.source, r.sample_rank, r.doc_id) for r in s3}
+        assert got3 == {
+            (src, rk, did) for src, v in per.items() for rk, did in v if rk <= 3
+        }
+
+    def test_small_stratum_returns_all(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+        )
+        out = stratified_sample(df, "source", 5).collect()
+        assert len(out) == 3
+
+    def test_hash_sample_disjoint_and_deterministic(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import hash_sample
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        a = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+        b = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+        assert a == b  # pure function of id
+        assert 250 < len(a) < 550  # ~400 expected
