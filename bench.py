@@ -194,7 +194,7 @@ def child_encode(cores: int, repeats: int = 2) -> dict:
 # measured on idle-window rehearsals) and scale linearly with the job
 # size for other sf.
 HI_WALL_THROTTLED_SEC = 26.0
-LO_WALL_THROTTLED_SEC = 105.0
+LO_WALL_THROTTLED_SEC = 100.0
 _CALIBRATED_SF = 0.1
 
 
@@ -254,9 +254,20 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
             time.sleep(3 * SCALING_PAUSE_SEC)  # inter-pair credit refill
         run_pair(i)
 
+    # A per-pair ratio above 1.0 is not superlinear scaling — it means
+    # THAT pair's lo child ran throttled relative to its hi child
+    # (observed: lo walls 101-109 s vs the 80-95 s calibration while
+    # the hi side sat clean at 20-23 s -> raw pair ratios 0.98-1.34).
+    # Clipping each pair at 1.0 before the median keeps the headline
+    # from being inflated by lo-side throttle — the conservative
+    # direction, since the target is >= 0.8 — while the raw ratios
+    # stay in the artifact for auditing.
+    def clipped():
+        return [min(e, 1.0) for e in pair_effs()]
+
     # Pre-retry estimate (reported so the selected-on-nothing number is
     # always visible in the artifact)
-    eff_fixed = round(med(pair_effs()), 3)
+    eff_fixed = round(med(clipped()), 3)
 
     # Throttle self-heal: retry (bounded, +2 pairs max, LONG growing
     # cool-downs — the throttle operates on a tens-of-minutes horizon
@@ -290,10 +301,17 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
         "tokens": tokens,
         "tokens_per_sec_lo": round(tokens / med(lo_walls)),
         "tokens_per_sec_hi": round(tokens / med(hi_walls)),
-        "estimator": "median over per-pair (time-local) lo/(4*hi) ratios",
-        "per_pair_efficiencies": [round(e, 3) for e in effs],
-        "efficiency_n_to_4n": round(med(effs), 3),
-        "efficiency_min_pair": round(min(lo_walls) / (4 * min(hi_walls)), 3),
+        "estimator": (
+            "median over per-pair (time-local) lo/(4*hi) ratios, each "
+            "clipped at 1.0 (a >1 pair = lo-side throttle, not "
+            "superlinear scaling; raw ratios reported)"
+        ),
+        "per_pair_efficiencies_raw": [round(e, 3) for e in effs],
+        "per_pair_efficiencies": [round(min(e, 1.0), 3) for e in effs],
+        "efficiency_n_to_4n": round(med(clipped()), 3),
+        "efficiency_min_pair": round(
+            min(1.0, min(lo_walls) / (4 * min(hi_walls))), 3
+        ),
         "efficiency_fixed_pairs": eff_fixed,
         "extra_pairs": extra,
     }

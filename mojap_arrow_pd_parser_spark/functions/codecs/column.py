@@ -241,6 +241,20 @@ def encode_array(
             entries, cascade=None, _outer=False, _parent_cascade=cascade
         )
         w.add("entries", em, ep)
+    elif pa.types.is_decimal128(t):
+        # 16-byte little-endian values split into two 64-bit word
+        # planes: the hi plane is ~constant (0 / -1 sign extension)
+        # for any realistic precision -> RLE collapses it; the lo
+        # plane is a plain int stream -> FOR/delta/dict apply. The
+        # reference round-trips decimals through arrow untouched
+        # (caster maps athena decimal -> pa.decimal128); here they
+        # get real columnar encoding.
+        kind = "decimal"
+        lo, hi = _decimal128_words(arr, mask)
+        lm, lp = encode_int(lo)
+        w.add("lo", lm, lp)
+        hm, hp = encode_int(hi)
+        w.add("hi", hm, hp)
     else:
         raise NotImplementedError(f"encode_array: unsupported type {t}")
 
@@ -261,6 +275,20 @@ def _int_values(arr, storage_t, np_dtype, mask):
     if mask is not None:
         ints = pc.fill_null(ints, 0)
     return np.asarray(ints).astype(np_dtype, copy=False)
+
+
+def _decimal128_words(arr: pa.Array, mask: np.ndarray | None):
+    """(lo uint64, hi int64) word planes of a decimal128 array's
+    16-byte little-endian storage; null slots canonicalized to 0."""
+    data = arr.buffers()[1]
+    words = np.frombuffer(data, dtype=np.uint64, count=2 * (arr.offset + len(arr)))
+    words = words[2 * arr.offset :]
+    lo = words[0::2].copy()
+    hi = words[1::2].view(np.int64).copy()
+    if mask is not None:
+        lo[mask] = 0
+        hi[mask] = 0
+    return lo, hi
 
 
 def _maybe_byteplane(fvals: np.ndarray, cascade: str):
@@ -638,6 +666,15 @@ def decode_array(meta: dict, payload: bytes) -> pa.Array:
         if arr.type != t:
             arr = arr.cast(t)
         return arr  # validity applied via the null offsets
+    elif kind == "decimal":
+        lm, lp = r.get("lo")
+        lo = decode_int(lm, lp).astype(np.uint64, copy=False)
+        hm, hp = r.get("hi")
+        hi = decode_int(hm, hp).astype(np.int64, copy=False)
+        words = np.empty(2 * n, dtype=np.uint64)
+        words[0::2] = lo
+        words[1::2] = hi.view(np.uint64)
+        arr = pa.Array.from_buffers(t, n, [None, pa.py_buffer(words.tobytes())])
     else:
         raise NotImplementedError(f"decode_array: unsupported kind {kind}")
 
@@ -701,6 +738,9 @@ def _parse_type(s: str) -> pa.DataType:
         return pa.timestamp(unit, tz)
     if s.startswith("duration"):
         return pa.duration(s.split("[")[1].rstrip("]"))
+    if s.startswith("decimal128("):
+        prec, _, scale = s[len("decimal128(") : -1].partition(",")
+        return pa.decimal128(int(prec), int(scale))
     if s.startswith("time32"):
         return pa.time32(s.split("[")[1].rstrip("]"))
     if s.startswith("time64"):
@@ -728,12 +768,13 @@ def _parse_type(s: str) -> pa.DataType:
 
 def _split_top(s: str) -> list[str]:
     """Split ``a: int64, b: struct<c: int64, d: string>`` at top-level
-    commas only (angle-bracket depth tracked)."""
+    commas only (angle-bracket AND parenthesis depth tracked — decimal
+    types carry a comma inside ``decimal128(p, s)``)."""
     parts, depth, start = [], 0, 0
     for i, ch in enumerate(s):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i].strip())
