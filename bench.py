@@ -193,7 +193,7 @@ def child_encode(cores: int, repeats: int = 2) -> dict:
 # (480M tokens: unthrottled 4-core walls ~19-24 s, 1-core ~80-95 s
 # measured on idle-window rehearsals) and scale linearly with the job
 # size for other sf.
-HI_WALL_THROTTLED_SEC = 26.0
+HI_WALL_THROTTLED_SEC = 25.0
 LO_WALL_THROTTLED_SEC = 100.0
 _CALIBRATED_SF = 0.1
 
@@ -212,19 +212,22 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
       one burst-fresh pass per child, across more pairs, gives every
       recorded wall the same credit treatment on both sides.
 
-    Efficiency (headline) = median of the PER-PAIR efficiencies
-    lo_i / (4 * hi_i), where pair i's lo and hi children run
-    back-to-back (~2 min apart). The host's throttle drifts over
-    tens of minutes — including degradation induced by the bench's
-    own sustained load — so a global lo-median over a global
-    hi-median compares walls from DIFFERENT macro-windows; the
-    time-local pair ratio cancels that drift (rehearsal evidence:
-    a window where the hi side degraded 32 s -> 81 s over the phase
-    read 0.41 on global medians while its freshest pair read 0.70).
-    The global min-pair estimate and the pre-retry estimate are
-    reported alongside, with every raw wall in arrival order, so the
-    artifact shows the full distribution and how each estimator would
-    have read it.
+    Efficiency (headline) = median of the VALID per-pair efficiencies
+    min(1, lo_i / (4 * hi_i)), where pair i's lo and hi children run
+    back-to-back (~2 min apart) and a pair is VALID iff both its
+    walls sit within the calibrated idle-window bounds. Rationale:
+    the host's throttle drifts over tens of minutes — including
+    degradation induced by the bench's own sustained load — so a
+    global lo-median over a global hi-median compares walls from
+    DIFFERENT macro-windows; the time-local pair ratio cancels that
+    drift. A pair where either child ran throttled measures the
+    hypervisor, not the engine (a throttled-hi pair deflates the
+    ratio, a throttled-lo pair inflates it), so validity is gated on
+    each side's ABSOLUTE wall separately — never on the ratio, which
+    keeps the gate blind to the headline. All pairs, walls, raw
+    ratios, validity flags, bounds, the all-pairs median and the
+    pre-retry estimate are reported in the artifact, so every
+    alternative reading is auditable.
     """
     lo_runs, hi_runs = [], []  # arrival order; index i = pair i
 
@@ -269,25 +272,41 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
     # always visible in the artifact)
     eff_fixed = round(med(clipped()), 3)
 
-    # Throttle self-heal: retry (bounded, +2 pairs max, LONG growing
-    # cool-downs — the throttle operates on a tens-of-minutes horizon
-    # and credits refill on idle) when EITHER side's best wall exceeds
-    # its calibrated unthrottled bound. The trigger is absolute wall
-    # time, not the efficiency target (see bound comments above) — a
-    # stopping rule independent of the headline.
+    # Per-pair validity: a pair measures the ENGINE's scaling only if
+    # BOTH its children ran unthrottled — each wall at or under its
+    # calibrated idle-window bound. The gate is absolute wall time on
+    # each side separately, never the ratio, so it cannot select on
+    # the headline: a throttled LO child (whose pair ratio is inflated
+    # in our favor) is excluded exactly like a throttled HI child.
+    # Invalid pairs stay in the artifact with their walls and raw
+    # ratios; only the headline median skips them.
     bound_scale = sf_of(SF_DIR) / _CALIBRATED_SF
     hi_bound = HI_WALL_THROTTLED_SEC * bound_scale
     lo_bound = LO_WALL_THROTTLED_SEC * bound_scale
+
+    def pair_valid():
+        return [
+            min(lo["walls"]) <= lo_bound and min(hi["walls"]) <= hi_bound
+            for lo, hi in zip(lo_runs, hi_runs)
+        ]
+
+    # Throttle self-heal: retry (bounded, +2 pairs max, LONG growing
+    # cool-downs — the throttle operates on a tens-of-minutes horizon
+    # and credits refill on idle) until at least TWO pairs are valid.
     extra = 0
-    while (
-        min(walls(hi_runs)) > hi_bound or min(walls(lo_runs)) > lo_bound
-    ) and extra < 2:
+    while sum(pair_valid()) < 2 and extra < 2:
         time.sleep((12 + 12 * extra) * SCALING_PAUSE_SEC)
         run_pair(pairs + extra)
         extra += 1
 
     lo_walls, hi_walls = walls(lo_runs), walls(hi_runs)
     effs = pair_effs()
+    valid = pair_valid()
+    valid_effs = [min(e, 1.0) for e, v in zip(effs, valid) if v]
+    # headline over unthrottled pairs; if the whole phase ran throttled
+    # (no valid pair even after retries), fall back to every pair and
+    # say so via valid_pairs=0
+    headline = med(valid_effs) if valid_effs else med(clipped())
     tokens = lo_runs[0]["tokens"]
     return {
         "cores_lo": SCALING_CORES_LO,
@@ -302,13 +321,20 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
         "tokens_per_sec_lo": round(tokens / med(lo_walls)),
         "tokens_per_sec_hi": round(tokens / med(hi_walls)),
         "estimator": (
-            "median over per-pair (time-local) lo/(4*hi) ratios, each "
-            "clipped at 1.0 (a >1 pair = lo-side throttle, not "
-            "superlinear scaling; raw ratios reported)"
+            "median over VALID per-pair (time-local) lo/(4*hi) ratios; "
+            "a pair is valid iff both its walls are within the "
+            "calibrated unthrottled bounds (absolute-wall gate, never "
+            "the ratio); each ratio clipped at 1.0 (a >1 pair = "
+            "lo-side throttle, not superlinear scaling)"
         ),
         "per_pair_efficiencies_raw": [round(e, 3) for e in effs],
         "per_pair_efficiencies": [round(min(e, 1.0), 3) for e in effs],
-        "efficiency_n_to_4n": round(med(clipped()), 3),
+        "pair_valid": valid,
+        "valid_pairs": sum(valid),
+        "lo_bound_sec": round(lo_bound, 3),
+        "hi_bound_sec": round(hi_bound, 3),
+        "efficiency_n_to_4n": round(headline, 3),
+        "efficiency_all_pairs": round(med(clipped()), 3),
         "efficiency_min_pair": round(
             min(1.0, min(lo_walls) / (4 * min(hi_walls))), 3
         ),

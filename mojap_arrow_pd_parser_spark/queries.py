@@ -1618,6 +1618,95 @@ GROUP BY 1 ORDER BY src_grp NULLS FIRST
 """
 
 
+def _build_q45_artifacts(spark) -> tuple[str, str]:
+    """(src, dec) parquet dirs for the decimal-bearing table: the
+    deterministic tokens table extended with a nullable decimal(18,4)
+    and a high-precision decimal(38,6) column, pushed through
+    encode -> decode. Oracle-side, DuckDB reads SOURCE and DECODED
+    parquet independently — agreement certifies the decimal word-plane
+    codec round-trip with a second engine."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_table
+
+    src_dir = f"{ARTIFACT_DIR}/q45_src"
+    enc_dir = f"{ARTIFACT_DIR}/q45_enc"
+    dec_dir = f"{ARTIFACT_DIR}/q45_dec"
+    src = (
+        tokens_table(spark, 1500, seed=99, avg_len=32)
+        .withColumn(
+            "price",
+            F.when(
+                F.col("n_tok") % 11 != 0,
+                (F.col("n_tok") * 1.37).cast("decimal(18,4)"),
+            ),
+        )
+        .withColumn(
+            "big", (F.col("n_tok") * 12345678901234).cast("decimal(38,6)")
+        )
+    )
+    src.write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(spark, spark.read.parquet(src_dir), enc_dir, key="doc_id", n_chunks=4)
+    decode_table(spark, enc_dir).write.mode("overwrite").parquet(dec_dir)
+    return src_dir, dec_dir
+
+
+def _ensure_q45_artifacts(spark) -> tuple[str, str]:
+    from .operators.encode import scan_done_chunks
+    from .sources import fsio
+
+    dirs = (f"{ARTIFACT_DIR}/q45_src", f"{ARTIFACT_DIR}/q45_dec")
+    try:
+        ok = (
+            len(scan_done_chunks(f"{ARTIFACT_DIR}/q45_enc")) == 4
+            and fsio.exists(f"{dirs[0]}/_SUCCESS")
+            and fsio.exists(f"{dirs[1]}/_SUCCESS")
+        )
+    except OSError:
+        ok = False
+    return dirs if ok else _build_q45_artifacts(spark)
+
+
+def q45_decimal_roundtrip(spark, sf):
+    """Decimal-column codec round-trip: aggregate the DECODED table —
+    exact scaled-integer sum of the nullable decimal(18,4), null
+    count, and min/max of the decimal(38,6) as canonical strings —
+    while the oracle computes the same from the SOURCE parquet. Equal
+    results mean decode(encode(x)) preserved every decimal value and
+    null slot, certified by a second engine."""
+    _src, dec_dir = _ensure_q45_artifacts(spark)
+    dec = spark.read.parquet(dec_dir)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_price"),
+            F.sum((F.col("price") * 10000).cast("long")).alias("price_scaled_sum"),
+            F.min("big").cast("string").alias("big_min"),
+            F.max("big").cast("string").alias("big_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q45 = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_price,
+       CAST(SUM(CAST(price * 10000 AS BIGINT)) AS BIGINT) AS price_scaled_sum,
+       CAST(MIN(big) AS VARCHAR) AS big_min,
+       CAST(MAX(big) AS VARCHAR) AS big_max
+FROM read_parquet('{ARTIFACT_DIR}/q45_src/*.parquet')
+GROUP BY source ORDER BY source
+"""
+
+
 def q42_repetition_signals(spark, sf):
     """Gopher/MassiveText within-document repetition signals over the
     documents table: top-word character share and duplicate-trigram
@@ -1769,4 +1858,5 @@ QUERIES = {
     "q42_repetition_signals": (q42_repetition_signals, SQL_Q42),
     "q43_oov_rate": (q43_oov_rate, SQL_Q43),
     "q44_stratified_sample": (q44_stratified_sample, SQL_Q44),
+    "q45_decimal_roundtrip": (q45_decimal_roundtrip, SQL_Q45),
 }
