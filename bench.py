@@ -393,17 +393,21 @@ def main() -> None:
     enc = run_encode(spark, src, out, n_chunks=64)
     time.sleep(2 * SCALING_PAUSE_SEC)  # refill credits the encode passes drained
     verify_walls = []
-    for _ in range(2):  # min-of-2 warm
+    for i in range(3):  # min-of-3 warm, idle between passes (see run_encode)
+        if i:
+            time.sleep(SCALING_PAUSE_SEC)
         t0 = time.monotonic()
         vr = verify_roundtrip(spark, spark.read.parquet(src), out)
         verify_walls.append(time.monotonic() - t0)
     verify_wall = round(min(verify_walls), 3)
 
-    # decode-only throughput (distributed, noop sink, min-of-2)
+    # decode-only throughput (distributed, noop sink, min-of-3)
     from mojap_arrow_pd_parser_spark.operators.decode import decode_table
 
     dec_walls = []
-    for _ in range(2):
+    for i in range(3):
+        if i:
+            time.sleep(SCALING_PAUSE_SEC)
         t0 = time.monotonic()
         decode_table(spark, out).write.format("noop").mode("overwrite").save()
         dec_walls.append(time.monotonic() - t0)
