@@ -327,3 +327,78 @@ def ngram_contamination(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 8,
+) -> DataFrame:
+    """(id, comp) labels over the undirected pair graph: iterative
+    min-label propagation, ``comp`` = min id reachable from ``id``
+    (so the label IS the component's canonical representative).
+
+    Per-iteration ``localCheckpoint`` truncates the join-loop lineage
+    so the plan stays O(1) per round instead of growing by one join
+    each iteration — at billions of edges the un-truncated plan
+    explodes long before the data does. Converges in <= graph
+    diameter rounds (near-dup graphs are shallow; ``max_iters``
+    bounds pathological chains) with an exchange-count probe for
+    early exit. Only ids that appear in some pair are labeled.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionAll(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize_duplicates(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep exactly one document
+    per duplicate component — the one whose id equals the component's
+    min-id label (``connected_components`` guarantees comp == min id
+    of the component) — plus every document in no component.
+
+    One anti-join against the (small relative to the corpus) set of
+    non-representative members; no shuffle of the corpus beyond the
+    join itself.
+    """
+    drop = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

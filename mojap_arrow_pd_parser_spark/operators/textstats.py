@@ -222,3 +222,36 @@ def repetition_signals(
             "n_distinct_grams",
         )
     )
+
+
+#: PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB,
+#: RE2-based) interpret identically, so redaction is oracle-checkable.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns=PII_PATTERNS,
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-shaped numbers (the
+    C4/CCNet-style pre-training hygiene pass): per document, the match
+    count of each pattern against the ORIGINAL text plus the text with
+    every pattern replaced by its placeholder, applied in declaration
+    order. Pure JVM regexp expressions — scan speed, no Python, no
+    shuffle."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, _ in patterns:
+        cols.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+    red = c
+    for name, pat, repl in patterns:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(*cols, red.alias("redacted"))

@@ -1160,45 +1160,7 @@ def q28_dup_components(spark, sf):
     validated against a DuckDB recursive-CTE transitive closure."""
     corpus = _duplicated_docs(spark, sf, near=True)
     pairs = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
-    edges = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-        .distinct()
-        .cache()
-    )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
-    )
-    # localCheckpoint per iteration: truncates the join-loop lineage so
-    # the plan stays O(1) per round instead of growing by one join each
-    # iteration (at billions of edges the un-truncated plan explodes
-    # long before the data does); eager=True also caches the labels,
-    # which the convergence probe re-reads anyway.
-    labels = labels.localCheckpoint()
-    for _ in range(8):  # diameter bound for near-dup graphs
-        neigh = (
-            edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = dedup.connected_components(pairs)
     return (
         labels.groupBy("comp")
         .agg(F.count(F.lit(1)).alias("size"), F.max("id").alias("max_id"))
@@ -1244,6 +1206,138 @@ comp AS (
 )
 SELECT comp, COUNT(*) AS size, CAST(MAX(id) AS BIGINT) AS max_id
 FROM comp GROUP BY comp ORDER BY comp
+"""
+
+
+def q46_dedup_canonicalize(spark, sf):
+    """Materialized near-dup dedup: connected components over the
+    Jaccard candidate graph, then keep ONE representative per
+    component (the min-id label) plus every unpaired document — the
+    'drop duplicates, keep one' step a real corpus-prep job ends
+    with. Oracle recomputes the closure with a recursive CTE and
+    anti-selects non-representatives."""
+    corpus = _duplicated_docs(spark, sf, near=True)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
+    labels = dedup.connected_components(pairs)
+    surv = dedup.canonicalize_duplicates(corpus, labels, "doc_id")
+    return surv.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+_SQL_COMP_CTE = """
+words AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE n_inter >= (sa.n_sh + sb.n_sh - n_inter) * 0.6
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS comp
+  FROM reach GROUP BY a
+)
+"""
+
+
+SQL_Q46 = f"""
+WITH RECURSIVE corpus AS ({_SQL_DUP_DOCS_NEAR}),
+docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+{_SQL_COMP_CTE}
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+ORDER BY doc_id
+"""
+
+
+def _pii_corpus(spark, sf):
+    """documents with deterministic synthetic PII appended: every 7th
+    doc gains an email + private IP, every 13th a phone + public IP
+    (multiples of 91 get both)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" reach me at user7@example.org or 10.0.0.7"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" call +123 456-7890 from 192.168.13.13"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_PII_CORPUS = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' reach me at user7@example.org or 10.0.0.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +123 456-7890 from 192.168.13.13'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q47_pii_redaction(spark, sf):
+    """PII scrub over a corpus with deterministic synthetic PII:
+    per-doc email/IPv4/phone match counts plus the md5 of the fully
+    redacted text — the digest proves the replacement output is
+    byte-identical across engines, not just the counts."""
+    red = textstats.redact_pii(_pii_corpus(spark, sf))
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted").alias("digest"),
+    ).orderBy("doc_id")
+
+
+SQL_Q47 = f"""
+WITH corpus AS ({_SQL_PII_CORPUS})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+         '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g')) AS digest
+FROM corpus ORDER BY doc_id
 """
 
 
@@ -1859,4 +1953,6 @@ QUERIES = {
     "q43_oov_rate": (q43_oov_rate, SQL_Q43),
     "q44_stratified_sample": (q44_stratified_sample, SQL_Q44),
     "q45_decimal_roundtrip": (q45_decimal_roundtrip, SQL_Q45),
+    "q46_dedup_canonicalize": (q46_dedup_canonicalize, SQL_Q46),
+    "q47_pii_redaction": (q47_pii_redaction, SQL_Q47),
 }

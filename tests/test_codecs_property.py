@@ -94,3 +94,24 @@ def test_float_column_roundtrip_property(rows):
     arr = pa.array(rows, type=pa.float32())
     meta, payload = encode_array(arr)
     assert decode_array(meta, payload).equals(arr)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-(10**28), max_value=10**28, places=4,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_decimal_roundtrip_property(vals):
+    arr = pa.array(vals, type=pa.decimal128(38, 4))
+    meta, payload = encode_array(arr)
+    out = decode_array(meta, payload)
+    assert out.equals(arr)

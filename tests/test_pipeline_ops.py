@@ -566,3 +566,55 @@ class TestStratifiedSample:
         b = {r.doc_id for r in hash_sample(df, 0.2).collect()}
         assert a == b  # pure function of id
         assert 250 < len(a) < 550  # ~400 expected
+
+
+class TestConnectedComponentsOps:
+    def test_labels_are_component_min(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # two components: {1,2,3} (chain) and {10, 11}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {r.id: r.comp for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_canonicalize_keeps_min_and_unpaired(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.dedup import (
+            canonicalize_duplicates, connected_components,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        labels = connected_components(pairs)
+        kept = {r.doc_id for r in canonicalize_duplicates(docs, labels).collect()}
+        assert kept == {1, 10, 99}  # component minima + the unpaired doc
+
+
+class TestPiiRedaction:
+    def test_counts_and_replacement(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.textstats import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b-c@x.co.uk and 10.0.0.1 then call +123 456-7890"),
+                (2, "no pii here"),
+                (3, "two mails p@q.io r@s.ai and ip 1.2.3.4 ip 5.6.7.8"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+        assert out[1].redacted == "mail <EMAIL> and <IP> then call <PHONE>"
+        assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+        assert out[2].redacted == "no pii here"
+        assert (out[3].n_email, out[3].n_ipv4) == (2, 2)
+        assert "<EMAIL>" in out[3].redacted and "<IP>" in out[3].redacted
+        assert "@" not in out[3].redacted
