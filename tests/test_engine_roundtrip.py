@@ -396,3 +396,44 @@ def test_decimal_column_roundtrip(spark, src, tmp_path):
     d = decode_table(spark, out, columns=["doc_id", "price", "big"])
     assert d.schema["price"].dataType.simpleString() == "decimal(18,4)"
     assert d.schema["big"].dataType.simpleString() == "decimal(38,6)"
+
+
+def test_key_range_and_where_compose(spark, src, tmp_path):
+    """key_range (key zone map) + where (per-column zone map) in one
+    decode: both prune sets intersect, both exact row filters apply,
+    and filter-only columns leak into neither the result schema nor
+    the empty-intersection fast path."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "enc_combo")
+    encode_table(spark, src, out, key="doc_id", n_chunks=8)
+    ids = sorted(r.doc_id for r in src.select("doc_id").collect())
+    lo, hi = ids[len(ids) // 10], ids[len(ids) // 2]
+    toks = sorted(r.n_tok for r in src.select("n_tok").collect())
+    tlo, thi = toks[len(toks) // 4], toks[3 * len(toks) // 4]
+
+    dec = decode_table(
+        spark, out, key_range=(lo, hi), where=("n_tok", tlo, thi)
+    )
+    expect = src.filter(
+        F.col("doc_id").between(lo, hi) & F.col("n_tok").between(tlo, thi)
+    )
+    assert dec.count() == expect.count() > 0
+    assert (
+        dec.agg(F.sum("n_tok")).collect()[0][0]
+        == expect.agg(F.sum("n_tok")).collect()[0][0]
+    )
+    # both filter columns pulled in only for filtering -> result keeps
+    # exactly the requested columns
+    only = decode_table(
+        spark, out, columns=["source"],
+        key_range=(lo, hi), where=("n_tok", tlo, thi),
+    )
+    assert only.columns == ["source"]
+    assert only.count() == expect.count()
+    # disjoint where-range short-circuits to the same pruned schema
+    none = decode_table(
+        spark, out, columns=["source"],
+        key_range=(lo, hi), where=("n_tok", 10**9, 2 * 10**9),
+    )
+    assert none.columns == ["source"] and none.count() == 0
