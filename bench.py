@@ -290,11 +290,15 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
             for lo, hi in zip(lo_runs, hi_runs)
         ]
 
-    # Throttle self-heal: retry (bounded, +2 pairs max, LONG growing
+    # Throttle self-heal: retry (bounded, +4 pairs max, LONG growing
     # cool-downs — the throttle operates on a tens-of-minutes horizon
     # and credits refill on idle) until at least TWO pairs are valid.
+    # The +4 budget is sized from an observed all-invalid phase whose
+    # hi walls recovered monotonically with each cool-down (35.6 ->
+    # 25.7 s against a 25 s bound) and ran out of retries one pair
+    # short of validity.
     extra = 0
-    while sum(pair_valid()) < 2 and extra < 2:
+    while sum(pair_valid()) < 2 and extra < 4:
         time.sleep((12 + 12 * extra) * SCALING_PAUSE_SEC)
         run_pair(pairs + extra)
         extra += 1
@@ -496,7 +500,7 @@ def main() -> None:
     # own fresh-credit pause + throttle-triggered resample). The long
     # idle first lets the host recover from the suite's own sustained
     # 32-core load before the first pair measures. --------------------
-    time.sleep(9 * SCALING_PAUSE_SEC)
+    time.sleep(18 * SCALING_PAUSE_SEC)
     scaling = measure_scaling()
     spark.stop()
 
