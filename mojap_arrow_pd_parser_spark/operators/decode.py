@@ -211,7 +211,7 @@ def _live_pruned_files(
     """
     from .encode import (
         _DISTRIBUTED_SCAN_MIN,
-        SIDECAR_DF_SCHEMA,
+        _sidecar_df,
         live_chunks,
         scan_sidecars,
     )
@@ -245,17 +245,11 @@ def _live_pruned_files(
             keep = [m for m in keep if _col_stats_overlap(m, where)]
         return [m["file"] for m in keep]
 
-    sdf = (
-        spark.read.schema(SIDECAR_DF_SCHEMA)
-        .json(manifest_dir)
-        # same malformed-sidecar skips as scan_sidecars' paths
-        .filter(
-            F.col("chunk_id").isNotNull()
-            & F.col("file").isNotNull()
-            & F.col("file_bytes").isNotNull()
-        )
-        .dropDuplicates(["chunk_id"])
-    )
+    # _sidecar_df applies the malformed-sidecar skips and falls back
+    # to distributed pyarrow JSON reads when the JVM can't open the
+    # scheme (s3:// without hadoop-aws) — decode keeps its scale shape
+    # on object stores either way
+    sdf = _sidecar_df(spark, out_dir).dropDuplicates(["chunk_id"])
     # live view: drop chunks superseded by a compacted chunk
     replaced = sdf.select(F.explode("replaces").alias("chunk_id")).distinct()
     live_df = sdf.join(replaced, "chunk_id", "left_anti")
@@ -299,11 +293,33 @@ def _live_pruned_files(
         marked.unpersist()
 
 
+def _dec_widened_bounds(lo, hi) -> tuple[float, float] | None:
+    """[lo, hi] widened to doubles by 2 ULPs each way. The distributed
+    "dec"-tagged prune compares decimal-string stats AS DOUBLES (a
+    decimal(38) can exceed every Spark decimal cast target); the
+    double conversions round by <= 1/2 ULP on each side, so widening
+    the query range by 2 ULPs makes `stat_max_d < lo_w` imply the
+    exact `stat_max < lo` — pruning stays provably conservative. (The
+    serial driver path compares exact decimal.Decimal instead.)"""
+    import math
+
+    try:
+        lo_f, hi_f = float(lo), float(hi)
+    except (OverflowError, ValueError):
+        return None
+    lo_w = math.nextafter(math.nextafter(lo_f, -math.inf), -math.inf)
+    hi_w = math.nextafter(math.nextafter(hi_f, math.inf), math.inf)
+    return lo_w, hi_w
+
+
 def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
     """Spark-side twin of the driver pruning rules: TRUE iff the chunk
     may contain matching rows. Conservative by construction — any
     null/unparseable/incomparable stat keeps the chunk (row filters
     after decode give exactness; pruning is only an optimization)."""
+    import datetime as _dt
+    import decimal as _decimal
+
     keep = F.lit(True)
     if key_range is not None and plan.get("key_type") == "string":
         lo, hi = key_range
@@ -314,6 +330,17 @@ def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
         numeric = (int, float)
         is_bool = isinstance(lo, bool) or isinstance(hi, bool)
         raw = F.get_json_object(F.col("col_stats"), f"$['{col}']")
+        arr_s = F.from_json(raw, "array<string>")
+
+        def tagged_disjoint(tag: str, lo_b, hi_b):
+            """Disjointness on a 3-element tagged stat [min, max, tag]."""
+            return (
+                raw.isNotNull()
+                & (F.size(arr_s) == 3)
+                & (arr_s[2] == tag)
+                & ((arr_s[1] < lo_b) | (arr_s[0] > hi_b))
+            )
+
         if (not is_bool
                 and isinstance(lo, numeric) and isinstance(hi, numeric)):
             # Representation chosen by the JSON literal form so the
@@ -329,18 +356,52 @@ def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
             hi_c = F.lit(hi).cast("decimal(38,9)")
             disjoint = (
                 raw.isNotNull()
-                & ~raw.startswith('["')  # string stats: cross-type, keep
+                & ~raw.startswith('["')  # string/tagged stats: below
                 & F.when(
                     raw.rlike("[.eE]"),
                     (arr_d[1] < F.lit(lo)) | (arr_d[0] > F.lit(hi)),
                 ).otherwise((arr_c[1] < lo_c) | (arr_c[0] > hi_c))
             )
             keep = keep & ~F.coalesce(disjoint, F.lit(False))
+            w = _dec_widened_bounds(lo, hi)
+            if w is not None:  # numeric bounds also prune decimal columns
+                dec_disjoint = (
+                    raw.isNotNull()
+                    & (F.size(arr_s) == 3)
+                    & (arr_s[2] == "dec")
+                    & ((arr_s[1].try_cast("double") < F.lit(w[0]))
+                       | (arr_s[0].try_cast("double") > F.lit(w[1])))
+                )
+                keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
+        elif not is_bool and isinstance(lo, _decimal.Decimal) \
+                and isinstance(hi, _decimal.Decimal):
+            w = _dec_widened_bounds(lo, hi)
+            if w is not None:
+                dec_disjoint = (
+                    raw.isNotNull()
+                    & (F.size(arr_s) == 3)
+                    & (arr_s[2] == "dec")
+                    & ((arr_s[1].try_cast("double") < F.lit(w[0]))
+                       | (arr_s[0].try_cast("double") > F.lit(w[1])))
+                )
+                keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
+        elif isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+            bounds = _where_bound_strs(lo, hi, "ts")
+            if bounds is not None:
+                keep = keep & ~F.coalesce(
+                    tagged_disjoint("ts", bounds[0], bounds[1]), F.lit(False)
+                )
+        elif (isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime)
+                and isinstance(hi, _dt.date) and not isinstance(hi, _dt.datetime)):
+            keep = keep & ~F.coalesce(
+                tagged_disjoint("date", lo.isoformat(), hi.isoformat()),
+                F.lit(False),
+            )
         elif not is_bool and isinstance(lo, str) and isinstance(hi, str):
-            arr_s = F.from_json(raw, "array<string>")
             disjoint = (
                 raw.isNotNull()
-                & raw.startswith('["')  # only genuine string stats
+                & raw.startswith('["')  # only genuine string stats...
+                & (F.size(arr_s) == 2)  # ...not tagged dec/ts/date ones
                 & ((arr_s[1] < lo) | (arr_s[0] > hi))
             )
             keep = keep & ~F.coalesce(disjoint, F.lit(False))
@@ -348,10 +409,45 @@ def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
     return keep
 
 
+def _where_bound_strs(lo, hi, tag: str) -> tuple[str, str] | None:
+    """Render query bounds into the stat-string domain of a TAGGED
+    zone map ([min, max, tag] — see encode._col_min_max), or None when
+    the bound types don't belong to that domain (never prune cross-
+    type). Exactness: decimals compare as decimal.Decimal; ts/date
+    bounds use the same fixed-width ISO rendering as the stats, where
+    lexicographic order is chronological."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from .encode import _ts_stat_str
+
+    if tag == "dec":
+        ok = (int, float, _decimal.Decimal)
+        if (isinstance(lo, ok) and isinstance(hi, ok)
+                and not isinstance(lo, bool) and not isinstance(hi, bool)):
+            # Decimal(float) is the float's exact binary value — exact
+            return str(_decimal.Decimal(lo)), str(_decimal.Decimal(hi))
+        return None
+    if tag == "ts":
+        if isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+            lo_s, hi_s = _ts_stat_str(lo), _ts_stat_str(hi)
+            if lo_s is not None and hi_s is not None:
+                return lo_s, hi_s
+        return None
+    if tag == "date":
+        if (isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime)
+                and isinstance(hi, _dt.date) and not isinstance(hi, _dt.datetime)):
+            return lo.isoformat(), hi.isoformat()
+        return None
+    return None
+
+
 def _col_stats_overlap(m: dict, where: tuple) -> bool:
     """True if chunk ``m`` may contain rows with where[0] in
     [where[1], where[2]] — i.e. prune ONLY on a provably-disjoint
     typed zone map; missing/incomparable stats keep the chunk."""
+    import decimal as _decimal
+
     col, lo, hi = where
     try:
         stats = json.loads(m.get("col_stats") or "{}")
@@ -360,6 +456,18 @@ def _col_stats_overlap(m: dict, where: tuple) -> bool:
     mm = stats.get(col)
     if not mm:
         return True
+    if len(mm) == 3:  # tagged domain: dec / ts / date
+        mn, mx, tag = mm
+        if tag == "dec":
+            bounds = _where_bound_strs(lo, hi, "dec")
+            if bounds is None:
+                return True
+            lo_d, hi_d = _decimal.Decimal(bounds[0]), _decimal.Decimal(bounds[1])
+            return not (_decimal.Decimal(mx) < lo_d or _decimal.Decimal(mn) > hi_d)
+        bounds = _where_bound_strs(lo, hi, tag)
+        if bounds is None:
+            return True
+        return not (mx < bounds[0] or mn > bounds[1])
     mn, mx = mm
     numeric = (int, float)
     if isinstance(mn, bool) or isinstance(lo, bool):
@@ -525,7 +633,7 @@ def encoded_size_report(out_dir: str, spark: SparkSession | None = None) -> dict
     <=parquet bound; falls back to a directory sum without sidecars."""
     from .encode import live_chunks, scan_done_chunks
 
-    live = live_chunks(scan_done_chunks(out_dir, spark))
+    live = live_chunks(scan_done_chunks(out_dir, spark, columns=()))
     if live:
         return {"encoded_bytes": sum(m["file_bytes"] for m in live.values())}
     total = sum(

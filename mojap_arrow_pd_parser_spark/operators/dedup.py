@@ -353,36 +353,56 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
+    try:
+        labels = (
+            edges.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint()
         )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
+        changed = 0
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.b == labels.id)
+                .groupBy("a")
+                .agg(F.min("comp").alias("ncomp"))
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(neigh, labels.id == neigh.a, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed:
+            # comp == component-min no longer guaranteed: callers like
+            # canonicalize_duplicates would keep EXTRA "representatives".
+            # Deep chains need max_iters ~ graph diameter (or pointer-
+            # doubling); fail loudly rather than silently under-dedup.
+            import warnings
+
+            warnings.warn(
+                f"connected_components did not converge in {max_iters} "
+                f"iterations ({changed} labels still changing); comp labels "
+                "may not be component minima — raise max_iters",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    finally:
+        # labels are localCheckpoint-materialized; the edge cache is
+        # only a loop-speedup and must not leak across calls
+        edges.unpersist()
     return labels
 
 

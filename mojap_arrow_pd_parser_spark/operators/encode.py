@@ -69,16 +69,21 @@ CHUNK_FILE_SCHEMA = pa.schema(
 
 def jvm_handles_scheme(spark: SparkSession, path: str) -> bool:
     """True when the JVM can resolve ``path``'s Hadoop FileSystem
-    (local paths always; ``s3://``/``s3a://`` only with hadoop-aws on
-    the classpath). Callers fall back to distributed pyarrow I/O —
-    same credentials/endpoint resolution as the fsio write path — when
-    this is False, so an encode/decode round trip works against an
-    object store even on a Spark build without the S3A connector."""
+    (local paths always; ``s3://``/``s3a://`` only with the matching
+    connector on the classpath). Callers fall back to distributed
+    pyarrow I/O — same credentials/endpoint resolution as the fsio
+    write path — when this is False, so an encode/decode round trip
+    works against an object store even on a Spark build without the
+    S3A connector.
+
+    The probe uses the EXACT uri callers will hand to spark.read /
+    the JVM manifest write — no s3->s3a rewriting. hadoop-aws
+    registers only the ``s3a`` scheme, so an ``s3://`` path must fail
+    the probe (and take the pyarrow fallback) even on a build WITH
+    hadoop-aws; rewriting before probing would pass the probe and
+    then crash the real read with 'No FileSystem for scheme: s3'."""
     if "://" not in path or path.startswith("file://"):
         return True
-    scheme = path.split("://", 1)[0]
-    if scheme == "s3":  # pyarrow scheme; Hadoop only knows s3a
-        path = "s3a://" + path[len("s3://"):]
     try:
         jvm = spark._jvm
         uri = jvm.java.net.URI(path)
@@ -103,31 +108,71 @@ def _codec_label(meta: dict) -> str:
     return "?"
 
 
+#: fixed-width timestamp format for zone-map stats: lexicographic
+#: order == chronological order (microseconds always rendered)
+_TS_STAT_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+def _ts_stat_str(dt) -> str | None:
+    """Fixed-width stat string for a timestamp; aware values are
+    normalized to UTC (the engine session runs UTC — session.py).
+    None outside years 1000-9999, where zero-padding (and therefore
+    the lexicographic==chronological guarantee) breaks."""
+    import datetime as _dt
+
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if not 1000 <= dt.year <= 9999:
+        return None
+    return dt.strftime(_TS_STAT_FMT)
+
+
 def _col_min_max(arr: pa.Array):
-    """Typed [min, max] for the per-column zone map, or None when the
-    column type/content can't be compared safely: only int/float/
-    string columns, all-null columns skipped, non-finite floats
-    skipped (no JSON-safe total order). Values keep their python TYPE
-    in the sidecar JSON, so pruning compares int-to-int / str-to-str —
-    never a stringified numeric (the lexicographic '9' > '100' trap)."""
+    """Typed [min, max] (optionally + domain tag) for the per-column
+    zone map, or None when the column type/content can't be compared
+    safely: all-null columns skipped, non-finite floats skipped (no
+    JSON-safe total order). int/float/string values keep their python
+    TYPE in the untagged 2-element form, so pruning compares
+    int-to-int / str-to-str — never a stringified numeric (the
+    lexicographic '9' > '100' trap). decimal128 / timestamp / date
+    columns use the TAGGED 3-element form [min_str, max_str, tag]
+    (tags "dec"/"ts"/"date"): decimals as exact decimal strings,
+    time types as fixed-width ISO strings whose lexicographic order
+    IS chronological — JSON numbers could not carry a decimal(38)
+    exactly, and untagged strings would collide with genuine string
+    stats."""
     import math
 
     import pyarrow.compute as pc
 
     t = arr.type
-    ok = (
+    plain = (
         pa.types.is_integer(t)
         or pa.types.is_floating(t)
         or pa.types.is_string(t)
         or pa.types.is_large_string(t)
     )
-    if not ok or not len(arr) or arr.null_count == len(arr):
+    tagged = (
+        pa.types.is_decimal(t)
+        or (pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us"))
+        or pa.types.is_date(t)
+    )
+    if not (plain or tagged) or not len(arr) or arr.null_count == len(arr):
         return None
     mm = pc.min_max(arr)
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
-    if isinstance(mn, float) and not (math.isfinite(mn) and math.isfinite(mx)):
+    if plain:
+        if isinstance(mn, float) and not (math.isfinite(mn) and math.isfinite(mx)):
+            return None
+        return [mn, mx]
+    if pa.types.is_decimal(t):
+        return [str(mn), str(mx), "dec"]
+    if pa.types.is_date(t):
+        return [mn.isoformat(), mx.isoformat(), "date"]
+    lo_s, hi_s = _ts_stat_str(mn), _ts_stat_str(mx)
+    if lo_s is None or hi_s is None:
         return None
-    return [mn, mx]
+    return [lo_s, hi_s, "ts"]
 
 
 def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Table, dict]:
@@ -213,7 +258,11 @@ def _manifest_batch(m: dict) -> pa.Table:
     )
 
 
-def scan_done_chunks(out_dir: str, spark: SparkSession | None = None) -> dict[int, dict]:
+def scan_done_chunks(
+    out_dir: str,
+    spark: SparkSession | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> dict[int, dict]:
     """Read manifest sidecars; keep only entries whose chunk file verifies.
 
     Returns the RAW sidecar view, including compacted chunks and the
@@ -222,10 +271,15 @@ def scan_done_chunks(out_dir: str, spark: SparkSession | None = None) -> dict[in
     the instant their replacement's sidecar is durable) and
     :func:`done_chunk_ids` for encode resume (replaced bucket ids
     still count as done — their rows live on in the merged chunk).
+
+    ``columns`` projects the per-sidecar dict (see
+    :func:`scan_sidecars`) — the resume/compact/GC paths pass the few
+    fields they need so a 400k-chunk table never ships per-chunk
+    ``col_stats`` JSON through the driver.
     """
     return {
         cid: {k: v for k, v in m.items() if k != "_verified"}
-        for cid, m in scan_sidecars(out_dir, spark).items()
+        for cid, m in scan_sidecars(out_dir, spark, columns).items()
         if m["_verified"]
     }
 
@@ -244,7 +298,18 @@ SIDECAR_DF_SCHEMA = (
 _DISTRIBUTED_SCAN_MIN = 256
 
 
-def scan_sidecars(out_dir: str, spark: SparkSession | None = None) -> dict[int, dict]:
+#: fields every scan materializes regardless of ``columns``:
+#: chunk_id/file/file_bytes drive verification, ``replaces`` drives
+#: the live/done views — dropping it would silently resurrect
+#: compaction-superseded chunks, so it is never projectable away.
+_SIDECAR_CORE_FIELDS = ("chunk_id", "file", "file_bytes", "replaces")
+
+
+def scan_sidecars(
+    out_dir: str,
+    spark: SparkSession | None = None,
+    columns: tuple[str, ...] | None = None,
+) -> dict[int, dict]:
     """All parseable sidecars with a ``_verified`` flag (chunk file
     present at the recorded size). Readers use this to tell a DAMAGED
     table (sidecar present, file wrong) from an absent one.
@@ -254,13 +319,23 @@ def scan_sidecars(out_dir: str, spark: SparkSession | None = None) -> dict[int, 
     ``spark.read.json`` over the sidecar directory replaces O(chunks)
     serial driver round trips, and file verification uses ONE paged
     directory listing of ``chunks/`` instead of O(chunks) stat calls.
+    When the JVM has no FileSystem for the scheme (s3:// without
+    hadoop-aws), the JSON read runs as distributed pyarrow I/O
+    instead (:func:`_sidecar_df`) — same dataflow shape.
+
+    ``columns=None`` returns every sidecar field (back-compat);
+    passing a tuple keeps only those fields plus the core
+    verification/lineage fields — the DataFrame is projected BEFORE
+    the collect, so unrequested payloads (``col_stats`` above all)
+    never reach the driver.
     """
     names = [
         fn for fn, _sz in fsio.list_files(fsio.join(out_dir, "manifest"))
         if fn.endswith(".json")
     ]
     if spark is not None and len(names) >= _DISTRIBUTED_SCAN_MIN:
-        return _scan_sidecars_distributed(spark, out_dir)
+        return _scan_sidecars_distributed(spark, out_dir, columns)
+    keep = None if columns is None else set(_SIDECAR_CORE_FIELDS) | set(columns)
     out: dict[int, dict] = {}
     for fn in names:
         try:
@@ -269,30 +344,107 @@ def scan_sidecars(out_dir: str, spark: SparkSession | None = None) -> dict[int, 
                 fsio.file_size(fsio.join(out_dir, "chunks", m["file"]))
                 == m["file_bytes"]
             )
+            if keep is not None:
+                m = {k: v for k, v in m.items() if k in keep or k == "_verified"}
             out[int(m["chunk_id"])] = m
         except (json.JSONDecodeError, KeyError, OSError):
             continue  # partial sidecar from a killed run -> re-encode
     return out
 
 
-def _scan_sidecars_distributed(spark: SparkSession, out_dir: str) -> dict[int, dict]:
-    """Sidecar scan as one distributed JSON read + one chunk-dir
-    listing. PERMISSIVE mode turns a partial sidecar from a killed run
-    into an all-null row, which is dropped — the same skip the serial
-    loop applies on JSONDecodeError."""
-    sdf = (
-        spark.read.schema(SIDECAR_DF_SCHEMA)
-        .json(fsio.join(out_dir, "manifest"))
-        # file_bytes must be present: a sidecar without it is malformed
-        # and the serial path skips it (KeyError) — without this filter
-        # a null size would compare equal to a MISSING chunk file
-        # (None == None) and mark damage as verified.
-        .filter(
-            F.col("chunk_id").isNotNull()
-            & F.col("file").isNotNull()
-            & F.col("file_bytes").isNotNull()
-        )
+def _sidecar_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Sidecar rows as one DataFrame (SIDECAR_DF_SCHEMA), malformed
+    rows filtered: ``spark.read.json`` when the JVM can reach the
+    scheme, else a mapInArrow fan-out whose tasks read the JSONs via
+    ``pyarrow.fs`` (fsio) — the executor-side path that already
+    handles s3:// credentials for chunk files. The file_bytes
+    null-filter matters on both paths: a sidecar without a recorded
+    size is malformed (the serial loop's KeyError skip) and must not
+    verify a MISSING chunk file via None == None."""
+    manifest_dir = fsio.join(out_dir, "manifest")
+    if jvm_handles_scheme(spark, manifest_dir):
+        sdf = spark.read.schema(SIDECAR_DF_SCHEMA).json(manifest_dir)
+    else:
+        paths = [
+            fsio.join(manifest_dir, fn)
+            for fn, _sz in fsio.list_files(manifest_dir)
+            if fn.endswith(".json")
+        ]
+        sdf = _read_sidecars_arrow(spark, paths)
+    return sdf.filter(
+        F.col("chunk_id").isNotNull()
+        & F.col("file").isNotNull()
+        & F.col("file_bytes").isNotNull()
     )
+
+
+#: arrow twin of SIDECAR_DF_SCHEMA (mapInArrow yields these batches)
+_SIDECAR_ARROW_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("n_cols", pa.int32()),
+        ("in_bytes", pa.int64()),
+        ("out_bytes", pa.int64()),
+        ("codecs", pa.string()),
+        ("crc32", pa.string()),
+        ("key_min", pa.string()),
+        ("key_max", pa.string()),
+        ("wall_ms", pa.int64()),
+        ("file", pa.string()),
+        ("status", pa.string()),
+        ("file_bytes", pa.int64()),
+        ("replaces", pa.list_(pa.int64())),
+        ("col_stats", pa.string()),
+    ]
+)
+
+
+def _read_sidecars_arrow(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed sidecar JSON read for schemes the JVM can't open:
+    the driver ships only file names; each task reads its sidecars
+    through fsio/pyarrow.fs. A partial sidecar from a killed run is
+    skipped (the PERMISSIVE-mode null-row drop, one file earlier)."""
+    field_names = _SIDECAR_ARROW_SCHEMA.names
+
+    def read_files(batches):
+        for b in batches:
+            rows = []
+            for path in b.column("path").to_pylist():
+                try:
+                    m = fsio.read_json(path)
+                except (json.JSONDecodeError, OSError):
+                    continue
+                if not isinstance(m, dict):
+                    continue
+                rows.append({k: m.get(k) for k in field_names})
+            if rows:
+                yield from pa.Table.from_pylist(
+                    rows, schema=_SIDECAR_ARROW_SCHEMA
+                ).to_batches()
+
+    fdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    fdf = fdf.repartition(
+        max(1, min(len(paths) // 64 + 1, spark.sparkContext.defaultParallelism))
+    )
+    return fdf.mapInArrow(read_files, schema=SIDECAR_DF_SCHEMA)
+
+
+def _scan_sidecars_distributed(
+    spark: SparkSession,
+    out_dir: str,
+    columns: tuple[str, ...] | None = None,
+) -> dict[int, dict]:
+    """Sidecar scan as one distributed JSON read + one chunk-dir
+    listing. ``columns`` (see :func:`scan_sidecars`) is applied as a
+    DataFrame projection BEFORE the collect."""
+    sdf = _sidecar_df(spark, out_dir)
+    if columns is not None:
+        proj = [
+            f for f in sdf.columns
+            if f in _SIDECAR_CORE_FIELDS or f in columns
+        ]
+        sdf = sdf.select(*proj)
     sizes = dict(fsio.list_files(fsio.join(out_dir, "chunks")))
     out: dict[int, dict] = {}
     for row in sdf.collect():
@@ -360,7 +512,9 @@ def encode_table(
 
     bdf = assign_buckets(df, plan)
     if resume:
-        done = sorted(done_chunk_ids(scan_done_chunks(out_dir, spark)))
+        # resume needs only ids + lineage: project the scan so a 400k-
+        # chunk table ships no col_stats/codecs JSON through the driver
+        done = sorted(done_chunk_ids(scan_done_chunks(out_dir, spark, columns=())))
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
@@ -403,14 +557,23 @@ def encode_table(
     return _finish_encode(spark, mdf, out_dir, consolidate)
 
 
+#: the consolidated-manifest fields (MANIFEST_SCHEMA minus the core
+#: fields scan_sidecars always returns) — col_stats deliberately absent
+_MANIFEST_FIELDS = (
+    "n_rows", "n_cols", "in_bytes", "out_bytes", "codecs", "crc32",
+    "key_min", "key_max", "wall_ms", "status",
+)
+
+
 def _finish_encode(spark, mdf, out_dir, consolidate):
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
     # Consolidate ALL LIVE verified sidecars (this run + survivors of
     # killed runs, minus compaction-superseded chunks) into one
-    # queryable manifest table.
-    done = live_chunks(scan_done_chunks(out_dir, spark))
+    # queryable manifest table. The scan projects to the manifest
+    # fields — per-chunk col_stats payloads never reach the driver.
+    done = live_chunks(scan_done_chunks(out_dir, spark, columns=_MANIFEST_FIELDS))
     rows = []
     for m in done.values():
         m = dict(m)
@@ -426,10 +589,18 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
             # object store without a JVM connector: the consolidated
             # manifest is tiny (one row per chunk) — commit it from
             # the driver with one atomic put and return the in-memory
-            # view (spark.read can't reach the scheme either)
+            # view (spark.read can't reach the scheme either).
+            # Clear prior parts first: an earlier JVM-path write left
+            # part-00000-<uuid>.parquet names, and a glob reader over
+            # the directory must never see duplicate manifest rows.
+            mp_dir = fsio.join(out_dir, "manifest.parquet")
+            for name, _sz in fsio.list_files(mp_dir):
+                if not name.startswith(("_", ".")):
+                    fs, p = fsio.resolve(fsio.join(mp_dir, name))
+                    fs.delete_file(p)
             fsio.write_parquet_atomic(
                 pa.concat_tables([_manifest_batch(m) for m in rows]),
-                fsio.join(out_dir, "manifest.parquet", "part-00000.parquet"),
+                fsio.join(mp_dir, "part-00000.parquet"),
             )
             return cons
         cons.coalesce(1).write.mode("overwrite").parquet(
@@ -491,7 +662,7 @@ def encode_files(
 
     todo = list(enumerate(plan["files"]))
     if resume:
-        done = done_chunk_ids(scan_done_chunks(out_dir, spark))
+        done = done_chunk_ids(scan_done_chunks(out_dir, spark, columns=()))
         todo = [(i, f) for i, f in todo if i not in done]
 
     chunks_dir = fsio.join(out_dir, "chunks")
@@ -558,7 +729,8 @@ def compact_chunks(
     """
     from ..functions.codecs import decode_array  # noqa: F401 (worker import check)
 
-    done = scan_done_chunks(out_dir, spark)
+    # grouping needs only n_rows + the core id/file/lineage fields
+    done = scan_done_chunks(out_dir, spark, columns=("n_rows",))
     live = live_chunks(done)
     target_rows = target_rows or max(1, 4 * min_rows)
     small = sorted(
@@ -644,7 +816,7 @@ def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     """Delete sidecars+files of chunks superseded by verified
     compacted chunks. Pure garbage collection: the read view already
     excludes them, so this is idempotent and crash-safe to re-run."""
-    done = scan_done_chunks(out_dir, spark)
+    done = scan_done_chunks(out_dir, spark, columns=())
     live = live_chunks(done)
     removed = 0
     for cid, m in done.items():

@@ -398,6 +398,64 @@ def test_decimal_column_roundtrip(spark, src, tmp_path):
     assert d.schema["big"].dataType.simpleString() == "decimal(38,6)"
 
 
+def test_tagged_zone_map_prunes_decimal_timestamp_date(spark, tmp_path):
+    """decimal128 / timestamp / date columns get TAGGED sidecar zone
+    maps ([min, max, tag] — decimal strings exact, fixed-width ISO for
+    time types) and decode_table(where=) prunes chunk files on them,
+    with the exact row filter after decode."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from mojap_arrow_pd_parser_spark.operators.encode import scan_sidecars
+
+    df = spark.range(0, 4000).select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        (F.col("id").cast("decimal(20,2)") / 100).alias("price"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   (F.col("id") / 10).cast("int")).alias("d"),
+    )
+    out = str(tmp_path / "enc_tagged_zm")
+    encode_table(spark, df, out, key="doc_id", n_chunks=8)
+    m = next(iter(scan_sidecars(out).values()))
+    stats = json.loads(m["col_stats"])
+    assert stats["price"][2] == "dec" and "." in stats["price"][0]
+    assert stats["ts"][2] == "ts" and "T" in stats["ts"][0]
+    assert stats["d"][2] == "date"
+
+    # decimal predicate: doc_id order == price order -> pruning fires
+    dec = decode_table(
+        spark, out, where=("price", Decimal("10.00"), Decimal("15.00"))
+    )
+    assert 0 < len(dec.inputFiles()) < 8
+    assert dec.count() == 501  # ids 1000..1500
+    # int bounds prune the decimal column too
+    dec_i = decode_table(spark, out, where=("price", 10, 15))
+    assert 0 < len(dec_i.inputFiles()) < 8
+    assert dec_i.count() == 501
+
+    ts_lo = dt.datetime(2024, 1, 1, 0, 20)
+    ts_hi = dt.datetime(2024, 1, 1, 0, 30)
+    dec2 = decode_table(spark, out, where=("ts", ts_lo, ts_hi))
+    assert 0 < len(dec2.inputFiles()) < 8
+    assert dec2.count() == 601  # seconds 1200..1800
+
+    dec3 = decode_table(
+        spark, out, where=("d", dt.date(2020, 2, 1), dt.date(2020, 2, 5))
+    )
+    assert 0 < len(dec3.inputFiles()) < 8
+    assert dec3.count() == 50  # ids 310..359 (5 days x 10 ids/day)
+
+    # disjoint decimal range short-circuits to the empty fast path
+    assert decode_table(
+        spark, out, where=("price", Decimal("10000"), Decimal("20000"))
+    ).count() == 0
+
+
 def test_key_range_and_where_compose(spark, src, tmp_path):
     """key_range (key zone map) + where (per-column zone map) in one
     decode: both prune sets intersect, both exact row filters apply,

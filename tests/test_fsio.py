@@ -135,6 +135,55 @@ class TestS3ScanPath:
         moto_s3.put_object(Bucket="engine-test", Key="h/x.bin", Body=b"12345")
         assert fsio.file_size("s3a://engine-test/h/x.bin") == 5
 
+    def test_many_sidecar_s3_scan_takes_arrow_fallback(self, spark, moto_s3):
+        """>= _DISTRIBUTED_SCAN_MIN sidecars on s3:// with NO
+        hadoop-aws on the classpath: the distributed scan must route
+        through the mapInArrow fsio fallback (spark.read.json would
+        raise 'No FileSystem for scheme: s3') and still verify sizes
+        against one chunk-dir listing. Covers decode/resume/
+        consolidation of big object-store tables on a connector-less
+        Spark build."""
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            _DISTRIBUTED_SCAN_MIN, jvm_handles_scheme, scan_sidecars,
+        )
+
+        base = "s3://engine-test/big-scan"
+        n = _DISTRIBUTED_SCAN_MIN + 20
+        for cid in range(n):
+            body = b"x" * (10 + cid % 5)
+            moto_s3.put_object(
+                Bucket="engine-test",
+                Key=f"big-scan/chunks/chunk-{cid:05d}.parquet",
+                Body=body,
+            )
+            moto_s3.put_object(
+                Bucket="engine-test",
+                Key=f"big-scan/manifest/{cid:05d}.json",
+                Body=json.dumps({
+                    "chunk_id": cid,
+                    "n_rows": 100,
+                    "n_cols": 2,
+                    "in_bytes": 1000,
+                    "out_bytes": 500,
+                    "codecs": '{"tokens":"rle"}',
+                    "crc32": "deadbeef",
+                    "key_min": f"doc{cid:05d}",
+                    "key_max": f"doc{cid:05d}z",
+                    "wall_ms": 5,
+                    "file": f"chunk-{cid:05d}.parquet",
+                    "status": "ok",
+                    "file_bytes": len(body) + (5 if cid == 7 else 0),
+                }),
+            )
+        # this Spark build has no S3 connector -> probe must say so
+        assert jvm_handles_scheme(spark, base) is False
+        dist = scan_sidecars(base, spark)
+        serial = scan_sidecars(base)
+        assert dist == serial
+        assert len(dist) == n
+        assert dist[7]["_verified"] is False  # size mismatch flagged
+        assert dist[8]["_verified"] is True
+
 
 class TestS3WritePath:
     """The WRITE half of the object-store commit protocol, end-to-end

@@ -12,8 +12,10 @@ corrupt-sidecar skips, size-mismatch damage flags and compaction
 
 from __future__ import annotations
 
+import datetime as dtm
 import json
 import os
+from decimal import Decimal
 
 import pytest
 
@@ -113,14 +115,24 @@ def test_distributed_matches_serial(spark, table_10k):
 def _write_clean_table(root: str, n: int) -> None:
     """Undamaged table with per-column zone maps: chunk cid covers
     val in [cid*10, cid*10+9], fval in [cid+0.5, cid+1.5], cat in
-    [s{cid:05d}, s{cid:05d}z], big = 2^60+cid (double-unrepresentable)."""
+    [s{cid:05d}, s{cid:05d}z], big = 2^60+cid (double-unrepresentable);
+    plus TAGGED domains (encode._col_min_max's 3-element form):
+    dval (decimal strings) in [cid.25, cid.75], tval (fixed-width ISO
+    timestamps) covering 30s starting at 2024-01-01 + cid minutes,
+    dtval (ISO dates) = 2020-01-01 + cid days."""
+    import datetime as dt
+
     os.makedirs(f"{root}/chunks")
     os.makedirs(f"{root}/manifest")
+    t0 = dt.datetime(2024, 1, 1)
+    d0 = dt.date(2020, 1, 1)
     for cid in range(n):
         fname = f"chunk-{cid:05d}.parquet"
         payload = b"x" * (10 + cid % 7)
         with open(f"{root}/chunks/{fname}", "wb") as f:
             f.write(payload)
+        ts_lo = t0 + dt.timedelta(minutes=cid)
+        ts_hi = ts_lo + dt.timedelta(seconds=30)
         m = {
             "chunk_id": cid,
             "n_rows": 100,
@@ -140,6 +152,17 @@ def _write_clean_table(root: str, n: int) -> None:
                 "fval": [cid + 0.5, cid + 1.5],
                 "cat": [f"s{cid:05d}", f"s{cid:05d}z"],
                 "big": [2**60 + cid, 2**60 + cid],
+                "dval": [f"{cid}.25", f"{cid}.75", "dec"],
+                "tval": [
+                    ts_lo.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                    ts_hi.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                    "ts",
+                ],
+                "dtval": [
+                    (d0 + dt.timedelta(days=cid)).isoformat(),
+                    (d0 + dt.timedelta(days=cid)).isoformat(),
+                    "date",
+                ],
             }),
         }
         if cid % 1000 == 999:
@@ -182,6 +205,18 @@ def _prune_both_paths(spark, root, kr=None, wh=None):
         (None, ("big", 2**60 + 5, 2**60 + 10)),  # int64 > 2^53: exact
         (None, ("val", 10**9, 2 * 10**9)),       # empty survivors
         (("doc00010", "doc00100"), ("val", 100, 259)),
+        # tagged domains (decimal / timestamp / date zone maps)
+        (None, ("dval", Decimal("10.30"), Decimal("20.50"))),
+        (None, ("dval", 10.3, 20.5)),            # float bounds on dec stats
+        (None, ("dval", 12, 19)),                # int bounds on dec stats
+        (None, ("dval", "a", "b")),              # string bounds: no prune
+        (None, ("dval", Decimal("1e30"), Decimal("2e30"))),  # empty survivors
+        (None, ("tval", dtm.datetime(2024, 1, 1, 0, 10),
+                dtm.datetime(2024, 1, 1, 0, 20))),
+        (None, ("tval", 100, 200)),              # numeric bounds: no prune
+        (None, ("dtval", dtm.date(2020, 2, 1), dtm.date(2020, 2, 10))),
+        (None, ("dtval", dtm.datetime(2020, 2, 1),
+                dtm.datetime(2020, 2, 10))),     # datetime vs date: keep
     ],
 )
 def test_distributed_prune_matches_serial(spark, clean_10k, kr, wh):
@@ -228,6 +263,105 @@ def test_distributed_prune_damage_raises_like_serial(spark, table_10k, monkeypat
             _live_pruned_files(
                 sess, table_10k, _PLAN, ("doc09000", "doc09010"), None
             )
+
+
+class TestDriverLightScans:
+    """Resume/compact/GC scans must be driver-light at 400k-chunk
+    scale: the ``columns`` projection keeps per-sidecar ``col_stats``
+    (and other heavy JSON) out of every DataFrame the driver
+    collects. Structural assertions here are scale-invariant — the
+    10k fixture proves the same bytes/row contract as 400k would."""
+
+    def test_distributed_projection_collects_core_fields_only(
+        self, spark, clean_10k, monkeypatch
+    ):
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        collected = []
+        real = DataFrame.collect
+
+        def spy(self):
+            rows = real(self)
+            collected.append(list(self.columns))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        out = scan_sidecars(clean_10k, spark, columns=())
+        assert len(out) == N_CLEAN
+        assert collected, "distributed path did not run"
+        core = set(enc_mod._SIDECAR_CORE_FIELDS)
+        assert all(set(cols) <= core for cols in collected)
+        assert all(
+            "col_stats" not in m and "codecs" not in m for m in out.values()
+        )
+        # lineage survives the projection (it is a core field)
+        assert out[999]["replaces"] == [998, 997]
+
+    def test_resume_consolidate_compact_gc_never_collect_col_stats(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """End-to-end: a real encode -> resume -> compact -> gc cycle
+        with the distributed threshold forced low; NO DataFrame the
+        driver collects on those paths may carry a col_stats column."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            compact_chunks, encode_table, gc_superseded,
+        )
+
+        monkeypatch.setattr(enc_mod, "_DISTRIBUTED_SCAN_MIN", 4)
+        df = spark.range(0, 2000).select(
+            F.concat(F.lit("doc_"), F.lpad(F.col("id").cast("string"), 8, "0")
+                     ).alias("doc_id"),
+            (F.col("id") % 97).cast("int").alias("val"),
+        )
+        out = str(tmp_path / "enc_light")
+        encode_table(spark, df, out, key="doc_id", n_chunks=8)
+
+        collected = []
+        real = DataFrame.collect
+
+        def spy(self):
+            rows = real(self)
+            collected.append(list(self.columns))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        encode_table(spark, df, out, key="doc_id", n_chunks=8)  # resume no-op
+        compact_chunks(spark, out, min_rows=1000)
+        gc_superseded(out, spark)
+        assert collected
+        assert all("col_stats" not in cols for cols in collected)
+
+    def test_serial_projection_matches(self, tmp_path):
+        root = str(tmp_path / "ser")
+        _write_table(root, 10)
+        proj = scan_sidecars(root, columns=("n_rows",))
+        full = scan_sidecars(root)
+        assert set(proj) == set(full)
+        core = set(enc_mod._SIDECAR_CORE_FIELDS) | {"n_rows", "_verified"}
+        for cid, m in proj.items():
+            assert set(m) <= core
+            assert m["n_rows"] == full[cid]["n_rows"]
+
+
+def test_arrow_fallback_scan_matches_jvm_path(spark, tmp_path, monkeypatch):
+    """When the JVM has no FileSystem for the scheme, the distributed
+    scan must fall back to mapInArrow fsio reads and return exactly
+    the spark.read.json result — including malformed-sidecar skips,
+    damage flags and lineage. Forced here by stubbing the probe."""
+    root = str(tmp_path / "arrowfb")
+    _write_table(root, 300)
+    monkeypatch.setattr(enc_mod, "_DISTRIBUTED_SCAN_MIN", 100)
+    serial = scan_sidecars(root)
+    jvm_dist = scan_sidecars(root, spark)
+    monkeypatch.setattr(enc_mod, "jvm_handles_scheme", lambda *a: False)
+    arrow_dist = scan_sidecars(root, spark)
+    assert arrow_dist == jvm_dist == serial
+    assert len(arrow_dist) == 300
+    assert arrow_dist[3]["_verified"] is False  # damage flag preserved
+    assert 77777 not in arrow_dist  # malformed sidecar skipped
 
 
 def test_small_tables_stay_serial(spark, tmp_path, monkeypatch):

@@ -597,6 +597,48 @@ class TestConnectedComponentsOps:
         kept = {r.doc_id for r in canonicalize_duplicates(docs, labels).collect()}
         assert kept == {1, 10, 99}  # component minima + the unpaired doc
 
+    def test_warns_when_max_iters_exhausted(self, spark):
+        """A chain deeper than max_iters leaves labels != component
+        minima — the convergence failure must be LOUD, because
+        canonicalize_duplicates would silently keep extra docs."""
+        import warnings
+
+        from mojap_arrow_pd_parser_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # a 12-node path graph needs ~diameter rounds to converge
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            connected_components(pairs, max_iters=1).collect()
+        assert any(
+            issubclass(x.category, RuntimeWarning)
+            and "did not converge" in str(x.message)
+            for x in w
+        )
+        # converged runs stay silent
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            connected_components(pairs, max_iters=20).collect()
+        assert not [x for x in w2 if "did not converge" in str(x.message)]
+
+    def test_edge_cache_released(self, spark):
+        """The per-call edges cache must not leak cached partitions
+        across repeated calls (q28 + q46 run in one session)."""
+        from mojap_arrow_pd_parser_spark.operators.dedup import (
+            connected_components,
+        )
+
+        spark.catalog.clearCache()
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        connected_components(pairs).collect()
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
 
 class TestPiiRedaction:
     def test_counts_and_replacement(self, spark):
