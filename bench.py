@@ -197,8 +197,57 @@ HI_WALL_THROTTLED_SEC = 25.0
 LO_WALL_THROTTLED_SEC = 100.0
 _CALIBRATED_SF = 0.1
 
+#: lo-core count per hi-core count (the "N vs 4N" ratio); derived from
+#: the core constants so changing the pair cannot silently skew the
+#: per-pair efficiency formula
+SCALING_FACTOR = SCALING_CORES_HI // SCALING_CORES_LO
 
-def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
+#: retry budget: up to this many extra pairs after the base three.
+#: Sized from the observed all-invalid round-4 phase (hi walls
+#: recovered monotonically with each cool-down and ran out one pair
+#: short) plus headroom for the probe-gated deferrals below.
+MAX_EXTRA_PAIRS = 6
+
+#: wall-clock budget for the whole scaling phase (probes + idles +
+#: pairs). The driver runs bench.py unattended once per round; this
+#: keeps the self-heal from idling past any reasonable round deadline.
+SCALING_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "2900"))
+
+
+def probe_window(
+    hi_bound: float,
+    attempts: int = 3,
+    idles: tuple = (180.0, 300.0),
+    deadline: float | None = None,
+) -> dict:
+    """Cheap window-quality probe (round-5 protocol): one burst-fresh
+    hi-side child per attempt, CLEAN iff its wall sits within the
+    calibrated bound. Run BEFORE committing to a scaling pair so a
+    hypervisor-throttled macro-window is detected for ~35 s of 4-core
+    time instead of a burned ~150 s pair; between attempts the box
+    idles (credits refill on idle — BENCH/BASELINE.md). The probe uses
+    the same job and the same absolute-wall bound as pair validity, so
+    it cannot condition on the headline ratio."""
+    walls = []
+    for i in range(attempts):
+        if i:
+            idle = idles[min(i - 1, len(idles) - 1)]
+            if deadline is not None:
+                idle = min(idle, max(0.0, deadline - time.monotonic() - 60.0))
+            time.sleep(idle)
+        r = child_encode(SCALING_CORES_HI, repeats=1)
+        w = min(r["walls"])
+        walls.append(round(w, 3))
+        if w <= hi_bound:
+            return {"walls": walls, "clean": True}
+        if deadline is not None and time.monotonic() > deadline - 120.0:
+            break
+    return {"walls": walls, "clean": False}
+
+
+def measure_scaling(
+    pairs: int = 3, repeats: int = 1, budget_sec: float | None = None
+) -> dict:
     """N->4N scaling evidence, protocol hardened against the host's
     burst-credit throttling (BENCH/BASELINE.md):
 
@@ -228,7 +277,18 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
     ratios, validity flags, bounds, the all-pairs median and the
     pre-retry estimate are reported in the artifact, so every
     alternative reading is auditable.
+
+    Round-5 hardening (window-aware recording): the phase starts with
+    a :func:`probe_window` gate, and every RETRY pair is probe-gated
+    too — while probes read dirty the phase idles (escalating
+    cool-downs, the effective whole-phase retry) instead of burning
+    pairs into a throttled window; everything is bounded by
+    ``budget_sec`` wall-clock. All probe walls land in the artifact
+    (``window_probe``) so window quality at recording time is
+    machine-readable, not prose.
     """
+    budget = SCALING_BUDGET_SEC if budget_sec is None else budget_sec
+    deadline = time.monotonic() + budget
     lo_runs, hi_runs = [], []  # arrival order; index i = pair i
 
     def run_pair(i):
@@ -248,9 +308,22 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
 
     def pair_effs():
         return [
-            min(lo["walls"]) / (4 * min(hi["walls"]))
+            min(lo["walls"]) / (SCALING_FACTOR * min(hi["walls"]))
             for lo, hi in zip(lo_runs, hi_runs)
         ]
+
+    # Bounds first: the probe gate needs them before any pair runs.
+    bound_scale = sf_of(SF_DIR) / _CALIBRATED_SF
+    hi_bound = HI_WALL_THROTTLED_SEC * bound_scale
+    lo_bound = LO_WALL_THROTTLED_SEC * bound_scale
+
+    # Window gate BEFORE committing to pairs: if the macro-window is
+    # throttled, idle-and-reprobe (credits refill on idle) rather than
+    # recording pairs that can only measure the hypervisor. If the
+    # window never comes clean within the probe budget, proceed anyway
+    # — pair validity still protects the headline, and the artifact
+    # records the dirty start.
+    pre_probe = probe_window(hi_bound, attempts=3, deadline=deadline)
 
     for i in range(pairs):
         if i:
@@ -280,26 +353,36 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
     # in our favor) is excluded exactly like a throttled HI child.
     # Invalid pairs stay in the artifact with their walls and raw
     # ratios; only the headline median skips them.
-    bound_scale = sf_of(SF_DIR) / _CALIBRATED_SF
-    hi_bound = HI_WALL_THROTTLED_SEC * bound_scale
-    lo_bound = LO_WALL_THROTTLED_SEC * bound_scale
-
     def pair_valid():
         return [
             min(lo["walls"]) <= lo_bound and min(hi["walls"]) <= hi_bound
             for lo, hi in zip(lo_runs, hi_runs)
         ]
 
-    # Throttle self-heal: retry (bounded, +4 pairs max, LONG growing
-    # cool-downs — the throttle operates on a tens-of-minutes horizon
-    # and credits refill on idle) until at least TWO pairs are valid.
-    # The +4 budget is sized from an observed all-invalid phase whose
-    # hi walls recovered monotonically with each cool-down (35.6 ->
-    # 25.7 s against a 25 s bound) and ran out of retries one pair
-    # short of validity.
+    # Throttle self-heal: until at least TWO pairs are valid, idle
+    # with escalating cool-downs (the throttle operates on a
+    # tens-of-minutes horizon and credits refill on idle), then PROBE:
+    # a pair only launches into a window a fresh probe measured clean,
+    # otherwise the loop keeps idling — the whole-phase retry the
+    # round-4 artifact lacked. Bounded by MAX_EXTRA_PAIRS and the
+    # phase wall-clock budget; in the endgame (budget nearly spent) a
+    # dirty probe no longer defers, so the artifact always carries the
+    # full pair evidence it had time to gather.
     extra = 0
-    while sum(pair_valid()) < 2 and extra < 4:
-        time.sleep((12 + 12 * extra) * SCALING_PAUSE_SEC)
+    deferred = 0
+    retry_probes = []
+    while sum(pair_valid()) < 2 and extra < MAX_EXTRA_PAIRS:
+        time_left = deadline - time.monotonic()
+        if time_left < 240.0:
+            break  # not enough budget for another (probe + pair)
+        cool = min((12.0 + 12.0 * extra) * SCALING_PAUSE_SEC, time_left - 200.0)
+        time.sleep(max(0.0, cool))
+        p = probe_window(hi_bound, attempts=1, deadline=deadline)
+        retry_probes.append(p)
+        if (not p["clean"] and deferred < 8
+                and deadline - time.monotonic() > 420.0):
+            deferred += 1
+            continue  # still throttled: keep idling instead of burning a pair
         run_pair(pairs + extra)
         extra += 1
 
@@ -325,11 +408,13 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
         "tokens_per_sec_lo": round(tokens / med(lo_walls)),
         "tokens_per_sec_hi": round(tokens / med(hi_walls)),
         "estimator": (
-            "median over VALID per-pair (time-local) lo/(4*hi) ratios; "
-            "a pair is valid iff both its walls are within the "
-            "calibrated unthrottled bounds (absolute-wall gate, never "
-            "the ratio); each ratio clipped at 1.0 (a >1 pair = "
-            "lo-side throttle, not superlinear scaling)"
+            f"median over VALID per-pair (time-local) "
+            f"lo/({SCALING_FACTOR}*hi) ratios; a pair is valid iff both "
+            "its walls are within the calibrated unthrottled bounds "
+            "(absolute-wall gate, never the ratio); each ratio clipped "
+            "at 1.0 (a >1 pair = lo-side throttle, not superlinear "
+            "scaling); pairs launch only into probe-verified windows "
+            "while budget allows"
         ),
         "per_pair_efficiencies_raw": [round(e, 3) for e in effs],
         "per_pair_efficiencies": [round(min(e, 1.0), 3) for e in effs],
@@ -340,10 +425,17 @@ def measure_scaling(pairs: int = 3, repeats: int = 1) -> dict:
         "efficiency_n_to_4n": round(headline, 3),
         "efficiency_all_pairs": round(med(clipped()), 3),
         "efficiency_min_pair": round(
-            min(1.0, min(lo_walls) / (4 * min(hi_walls))), 3
+            min(1.0, min(lo_walls) / (SCALING_FACTOR * min(hi_walls))), 3
         ),
         "efficiency_fixed_pairs": eff_fixed,
         "extra_pairs": extra,
+        "window_probe": {
+            "pre_phase": pre_probe,
+            "retries": retry_probes,
+            "deferred_pairs": deferred,
+            "hi_bound_sec": round(hi_bound, 3),
+        },
+        "budget_sec": budget,
     }
 
 
@@ -494,6 +586,113 @@ def main() -> None:
             corpus, "text", "doc_id", n=3, threshold=0.8,
             max_shingle_df=1000,
         ),
+    )
+
+    # --- ANN measured basis (round-5): recall@10 + wall for the IVF
+    # and RP-LSH scale paths vs the exact brute-force scan, at bench
+    # scale — the measured grounding for the 100-TB ANN advice, like
+    # the Jaccard cap row gave the dedup advice in r4. ----------------
+    from pyspark.sql import functions as F
+
+    from mojap_arrow_pd_parser_spark.operators import similarity as _sim
+    from mojap_arrow_pd_parser_spark.queries import _query_vec
+
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).filter(
+        F.col("vec_id") != 0
+    )
+    qv = _query_vec(spark, SF_DIR)
+    n_emb = emb.count()
+    llm_ops["ann_rows"] = n_emb
+
+    def timed_topk(mk):
+        """(wall, ids) — min-of-2 walls, ids from the second pass."""
+        runs, ids = [], None
+        for _ in range(2):
+            t0 = time.monotonic()
+            ids = [r[0] for r in mk().collect()]
+            runs.append(time.monotonic() - t0)
+        return round(min(runs), 3), ids
+
+    w, truth = timed_topk(lambda: _sim.cosine_topk(emb, qv, k=10))
+    llm_ops["ann_brute_sec"] = w
+
+    # Query-time walls are measured against a MATERIALIZED index
+    # (assignment/bucketing persisted, partitioned by list/bucket —
+    # the production shape, where the probe filter becomes parquet
+    # PARTITION PRUNING and the build cost is amortized over every
+    # query); build walls are recorded separately. NOTE (honesty at
+    # this data): the synthetic embeddings are isotropic — no cluster
+    # structure — so recall ~= scanned fraction is the information-
+    # theoretic ceiling here; the scan_frac rows make that visible.
+    t0 = time.monotonic()
+    cents = _sim.ivf_fit_centroids(emb, k=16)
+    ivf_dir = f"/tmp/bench_ivf_{CPUS}"
+    _sim.ivf_assign(emb, cents).write.mode("overwrite") \
+        .partitionBy("list_id").parquet(ivf_dir)
+    llm_ops["ann_ivf_build_sec"] = round(time.monotonic() - t0, 3)
+    ivf = spark.read.parquet(ivf_dir)
+    qarr = np.asarray(qv, dtype="float64")
+    d2 = ((cents - qarr) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:4]]
+    w, got = timed_topk(
+        lambda: _sim.cosine_topk(
+            ivf.filter(F.col("list_id").isin(probes)), qv, k=10
+        )
+    )
+    llm_ops["ann_ivf_sec"] = w
+    llm_ops["ann_ivf_recall_at10"] = round(len(set(got) & set(truth)) / 10, 3)
+    llm_ops["ann_ivf_scan_frac"] = round(
+        ivf.filter(F.col("list_id").isin(probes)).count() / n_emb, 3
+    )
+
+    n_planes = 4
+    t0 = time.monotonic()
+    lsh_dir = f"/tmp/bench_lsh_{CPUS}"
+    _sim.rp_lsh_buckets(emb, len(qv), n_planes=n_planes).write \
+        .mode("overwrite").partitionBy("bucket").parquet(lsh_dir)
+    llm_ops["ann_rplsh_build_sec"] = round(time.monotonic() - t0, 3)
+    lsh = spark.read.parquet(lsh_dir)
+    planes = _sim._hyperplanes(n_planes, len(qv), 42).astype("float64")
+    qb = int(((planes @ qarr) > 0).astype("int64")
+             @ (1 << np.arange(n_planes)))
+    bprobes = _sim.directed_probes(qarr, planes, qb, 4)
+    w, got = timed_topk(
+        lambda: _sim.cosine_topk(
+            lsh.filter(F.col("bucket").isin(bprobes)), qv, k=10
+        )
+    )
+    llm_ops["ann_rplsh_sec"] = w
+    llm_ops["ann_rplsh_recall_at10"] = round(len(set(got) & set(truth)) / 10, 3)
+    llm_ops["ann_rplsh_scan_frac"] = round(
+        lsh.filter(F.col("bucket").isin(bprobes)).count() / n_emb, 3
+    )
+
+    # --- skewed-source encode stress (round-5): the tokens table's
+    # `source` column is 70% common_crawl by construction (datagen
+    # _SOURCE_P); encode through the partition-salted chunking path
+    # (N10) and record the premium over the uniform key-range encode —
+    # the measured check that salting keeps a skewed source from
+    # serializing the job. -------------------------------------------
+    from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+    skew_out = f"/tmp/bench_enc_skew_{CPUS}"
+    skew_walls = []
+    src_df = spark.read.parquet(src)
+    for i in range(2):  # min-of-2 (JVM hot; first pass warms the plan)
+        shutil.rmtree(skew_out, ignore_errors=True)
+        if i:
+            time.sleep(SCALING_PAUSE_SEC)
+        t0 = time.monotonic()
+        encode_table(
+            spark, src_df, skew_out, key="doc_id", n_chunks=64,
+            partition_col="source", resume=False, consolidate=False,
+        )
+        skew_walls.append(time.monotonic() - t0)
+    llm_ops["encode_salted_skew_sec"] = round(min(skew_walls), 3)
+    llm_ops["encode_salted_over_uniform"] = round(
+        min(skew_walls) / enc["wall_sec"], 3
     )
 
     # --- scaling evidence LAST (ratio measurement; each child gets its

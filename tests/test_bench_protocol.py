@@ -11,9 +11,12 @@ sleeps) to pin the estimator's behavior:
 * a pair counts toward the headline only when BOTH its walls sit
   within the calibrated idle-window bounds (absolute-wall gate,
   never the ratio);
-* the self-heal retries until two pairs are valid, bounded at +4
-  extra pairs, and falls back to the all-pairs clipped median with
-  ``valid_pairs: 0`` when an entire phase runs throttled.
+* the self-heal retries until two pairs are valid, bounded at
+  ``MAX_EXTRA_PAIRS`` and the phase wall-clock budget, and falls back
+  to the all-pairs clipped median with ``valid_pairs: 0`` when an
+  entire phase runs throttled;
+* (round 5) pairs are probe-gated: a dirty window defers the pair
+  (idle instead of burn), every probe wall lands in the artifact.
 """
 
 import pytest
@@ -24,12 +27,15 @@ import bench
 TOKENS = 479_656_987
 
 
-def _scripted(monkeypatch, lo_walls, hi_walls):
+def _scripted(monkeypatch, lo_walls, hi_walls, probes=None):
     """Patch child_encode to replay scripted walls and kill sleeps.
 
     ``measure_scaling`` alternates start side per pair, but always
     appends lo-children to lo_runs and hi-children to hi_runs; we key
     the script on the requested core count, not call order.
+
+    ``probes``: scripted probe_window results (dicts); default stubs
+    every probe CLEAN so pre-round-5 expectations hold unchanged.
     """
     seq = {bench.SCALING_CORES_LO: iter(lo_walls),
            bench.SCALING_CORES_HI: iter(hi_walls)}
@@ -45,6 +51,18 @@ def _scripted(monkeypatch, lo_walls, hi_walls):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     # pin bounds to the calibrated sf0.1 values (25 s hi / 100 s lo)
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+
+    probe_script = iter(probes) if probes is not None else None
+
+    def fake_probe(hi_bound, attempts=3, idles=(180.0, 300.0), deadline=None):
+        if probe_script is None:
+            return {"walls": [], "clean": True}
+        try:
+            return next(probe_script)
+        except StopIteration:
+            return {"walls": [], "clean": True}
+
+    monkeypatch.setattr(bench, "probe_window", fake_probe)
 
 
 def test_clean_window_no_retries(monkeypatch):
@@ -92,19 +110,90 @@ def test_retries_until_two_valid(monkeypatch):
 
 
 def test_all_throttled_falls_back_with_zero_valid(monkeypatch):
-    # an entire phase over the hi bound: 3 base + the full +4 retry
+    # an entire phase over the hi bound: 3 base + the full retry
     # budget all invalid -> headline falls back to the all-pairs
     # clipped median and says so via valid_pairs=0.
-    lo = [80.0] * 7
-    hi = [40.0, 38.0, 36.0, 34.0, 32.0, 30.0, 28.0]
+    n = 3 + bench.MAX_EXTRA_PAIRS
+    lo = [80.0] * n
+    hi = [40.0 - 1.0 * i for i in range(n)]  # 40, 39, ... all > 25
     _scripted(monkeypatch, lo, hi)
     s = bench.measure_scaling()
-    assert s["extra_pairs"] == 4
+    assert s["extra_pairs"] == bench.MAX_EXTRA_PAIRS
     assert s["valid_pairs"] == 0
-    assert s["pair_valid"] == [False] * 7
+    assert s["pair_valid"] == [False] * n
     assert s["efficiency_n_to_4n"] == s["efficiency_all_pairs"]
-    # median of 80/(4*hi) over all 7 pairs = pair at hi=34
-    assert s["efficiency_n_to_4n"] == round(80 / (4 * 34), 3)
+    # median of 80/(4*hi) over all pairs = the middle hi wall
+    mid = sorted(hi)[n // 2]
+    assert s["efficiency_n_to_4n"] == round(80 / (4 * mid), 3)
+
+
+def test_dirty_probe_defers_pair_until_clean(monkeypatch):
+    """A throttled window between retries must IDLE (deferral), not
+    burn a pair: with 2 dirty probes before a clean one, exactly one
+    extra pair runs and the deferrals are recorded in the artifact."""
+    _scripted(
+        monkeypatch,
+        [80.0, 80.0, 80.0, 80.0],
+        [30.0, 28.0, 20.0, 21.0],
+        probes=[
+            {"walls": [], "clean": True},            # pre-phase
+            {"walls": [31.2], "clean": False},       # retry probe 1: dirty
+            {"walls": [27.9], "clean": False},       # retry probe 2: dirty
+            {"walls": [21.5], "clean": True},        # retry probe 3: clean
+        ],
+    )
+    s = bench.measure_scaling()
+    # base pairs: [80,30] invalid, [80,28] invalid, [80,20] valid ->
+    # one retry pair needed; it launches only after the clean probe
+    assert s["extra_pairs"] == 1
+    assert s["valid_pairs"] == 2
+    assert s["window_probe"]["deferred_pairs"] == 2
+    assert [p["clean"] for p in s["window_probe"]["retries"]] == [
+        False, False, True,
+    ]
+    assert s["window_probe"]["pre_phase"]["clean"] is True
+
+
+def test_zero_budget_skips_retries(monkeypatch):
+    """With no scaling budget left, the retry loop must not idle or
+    spawn pairs — base pairs only, honest fallback headline."""
+    _scripted(monkeypatch, [80.0, 80.0, 80.0], [30.0, 30.0, 30.0])
+    s = bench.measure_scaling(budget_sec=0.0)
+    assert s["extra_pairs"] == 0
+    assert s["valid_pairs"] == 0
+    assert s["window_probe"]["retries"] == []
+
+
+def test_probe_window_retries_then_clean(monkeypatch):
+    """probe_window itself: walls accumulate until one reads within
+    the bound; every wall is reported."""
+    walls = iter([31.0, 27.0, 22.0])
+    monkeypatch.setattr(
+        bench, "child_encode",
+        lambda cores, repeats=1: {"walls": [next(walls)], "tokens": TOKENS},
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    p = bench.probe_window(25.0, attempts=3)
+    assert p == {"walls": [31.0, 27.0, 22.0], "clean": True}
+
+
+def test_probe_window_all_dirty(monkeypatch):
+    walls = iter([31.0, 27.0])
+    monkeypatch.setattr(
+        bench, "child_encode",
+        lambda cores, repeats=1: {"walls": [next(walls)], "tokens": TOKENS},
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    p = bench.probe_window(25.0, attempts=2)
+    assert p == {"walls": [31.0, 27.0], "clean": False}
+
+
+def test_scaling_factor_tracks_core_constants():
+    """ADVICE r4: the efficiency formula's factor must derive from the
+    core-count constants, not a hard-coded 4."""
+    assert bench.SCALING_FACTOR == (
+        bench.SCALING_CORES_HI // bench.SCALING_CORES_LO
+    )
 
 
 def test_bounds_scale_with_sf(monkeypatch):
