@@ -1907,6 +1907,135 @@ ORDER BY source, sample_rank
 """
 
 
+def _build_q48_artifacts(spark) -> tuple[str, str]:
+    """(src, enc) dirs for the typed-zone-map table: the deterministic
+    tokens table extended with a doc_id-monotone decimal(18,4)
+    ``price`` and a doc_id-monotone ``ts`` timestamp, encoded into 6
+    range chunks — so each chunk's TAGGED sidecar zone map ([min, max,
+    "dec"/"ts"], operators/encode._col_min_max) covers a disjoint
+    slice and predicate decodes prune whole chunk files."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.encode import encode_table
+
+    src_dir = f"{ARTIFACT_DIR}/q48_src"
+    enc_dir = f"{ARTIFACT_DIR}/q48_enc"
+    idx = F.substring("doc_id", 5, 12).cast("long")
+    src = (
+        tokens_table(spark, 2000, seed=555, avg_len=32)
+        .withColumn("price", (idx.cast("decimal(18,4)") / 100))
+        .withColumn(
+            "ts",
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=idx),
+        )
+    )
+    src.write.mode("overwrite").parquet(src_dir)
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(
+        spark, spark.read.parquet(src_dir), enc_dir, key="doc_id", n_chunks=6
+    )
+    return src_dir, enc_dir
+
+
+def _ensure_q48_artifacts(spark) -> tuple[str, str]:
+    from .operators.encode import scan_done_chunks
+    from .sources import fsio
+
+    dirs = (f"{ARTIFACT_DIR}/q48_src", f"{ARTIFACT_DIR}/q48_enc")
+    try:
+        done = scan_done_chunks(dirs[1])
+        ok = (
+            len(done) == 6
+            and fsio.exists(f"{dirs[0]}/_SUCCESS")
+            # artifacts must carry the round-5 TAGGED stats (an older
+            # cached dir without them would silently skip pruning)
+            and '"dec"' in (next(iter(done.values())).get("col_stats") or "")
+        )
+    except OSError:
+        ok = False
+    return dirs if ok else _build_q48_artifacts(spark)
+
+
+def q48_decimal_pruned_decode(spark, sf):
+    """Decimal-column zone-map read path (q40's generalization to the
+    TAGGED stat domains): decode only the chunks whose sidecar
+    col_stats['price'] — exact decimal strings tagged "dec" — overlap
+    the predicate, exact row filter after decode. The oracle
+    recomputes the aggregate from the source parquet with a plain
+    WHERE; agreement certifies pruning dropped no qualifying row."""
+    import decimal
+
+    from .operators.decode import decode_table
+
+    _src, enc_dir = _ensure_q48_artifacts(spark)
+    dec = decode_table(
+        spark, enc_dir,
+        where=("price", decimal.Decimal("5.00"), decimal.Decimal("12.00")),
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum((F.col("price") * 10000).cast("long")).alias("price_scaled_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q48 = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(price * 10000 AS BIGINT)) AS BIGINT) AS price_scaled_sum
+FROM read_parquet('{ARTIFACT_DIR}/q48_src/*.parquet')
+WHERE price BETWEEN 5.00 AND 12.00
+GROUP BY source ORDER BY source
+"""
+
+
+def q49_timestamp_pruned_decode(spark, sf):
+    """Timestamp-column zone-map read path: sidecar stats are
+    fixed-width ISO strings tagged "ts" (lexicographic == chronological
+    by construction), pruned against datetime bounds, exact row filter
+    after decode. Oracle recomputes from source parquet (UTC both
+    sides — session TZ pinned in session.py)."""
+    import datetime as dt
+
+    from .operators.decode import decode_table
+
+    _src, enc_dir = _ensure_q48_artifacts(spark)
+    dec = decode_table(
+        spark, enc_dir,
+        where=(
+            "ts",
+            dt.datetime(2024, 1, 1, 0, 10),
+            dt.datetime(2024, 1, 1, 0, 25),
+        ),
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ts").cast("string").alias("ts_min"),
+            F.max("ts").cast("string").alias("ts_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q49 = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(MIN(ts) AS VARCHAR) AS ts_min,
+       CAST(MAX(ts) AS VARCHAR) AS ts_max
+FROM read_parquet('{ARTIFACT_DIR}/q48_src/*.parquet')
+WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:10:00'
+             AND TIMESTAMP '2024-01-01 00:25:00'
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -1955,4 +2084,6 @@ QUERIES = {
     "q45_decimal_roundtrip": (q45_decimal_roundtrip, SQL_Q45),
     "q46_dedup_canonicalize": (q46_dedup_canonicalize, SQL_Q46),
     "q47_pii_redaction": (q47_pii_redaction, SQL_Q47),
+    "q48_decimal_pruned_decode": (q48_decimal_pruned_decode, SQL_Q48),
+    "q49_timestamp_pruned_decode": (q49_timestamp_pruned_decode, SQL_Q49),
 }
