@@ -403,13 +403,37 @@ _DECODERS = {
 }
 
 
+#: relative ENCODE cpu rank per codec (cheapest first). Used ONLY to
+#: break near-ties in the size estimates: measured on the bench tokens
+#: table, delta2's miniblock pass costs ~3x a plain memcpy, and on
+#: borderline chunks the size estimates sit within a fraction of a
+#: percent of each other — row ORDER (range vs hash-salted chunking)
+#: was enough to flip the argmin and double the whole encode wall for
+#: a <1% size win. A real columnar writer charges CPU for that.
+_CPU_RANK = {"plain": 0, "ffor": 1, "rle": 2, "dict": 3, "delta": 4, "delta2": 5}
+
+#: a pricier codec must beat the cheaper one's estimate by MORE than
+#: this fraction to be chosen (size-vs-encode-CPU hysteresis)
+_NEAR_TIE_MARGIN = 0.02
+
+
+def _pick_near_tie(est: dict) -> str:
+    """Smallest estimate wins, except that within ``_NEAR_TIE_MARGIN``
+    of the best the CPU-cheapest codec is taken instead."""
+    best = min(est.values())
+    cutoff = best * (1.0 + _NEAR_TIE_MARGIN)
+    near = [k for k, v in est.items() if v <= cutoff]
+    return min(near, key=lambda k: (_CPU_RANK.get(k, 99), est[k]))
+
+
 def choose_int_codec(a: np.ndarray, allow: tuple = None) -> str:
-    """Pick the estimated-smallest codec for this chunk (SURVEY N7)."""
+    """Pick the estimated-smallest codec for this chunk (SURVEY N7),
+    with CPU-aware near-tie hysteresis (:func:`_pick_near_tie`)."""
     st = int_stats(a)
     est = estimate_int_sizes(st)
     if allow:
         est = {k: v for k, v in est.items() if k in allow}
-    return min(est, key=est.get)
+    return _pick_near_tie(est)
 
 
 def encode_int(

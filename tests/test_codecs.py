@@ -86,6 +86,24 @@ class TestIntCodecs:
         meta, payload = encode_int(a)
         np.testing.assert_array_equal(a, decode_int(meta, payload))
 
+    def test_near_tie_prefers_cheap_codec(self):
+        """CPU-aware hysteresis: a pricier codec must beat the cheap
+        one's size estimate by >2% (measured: delta2 costs ~3x plain
+        for <1% size win on borderline chunks, and row order alone
+        could flip the argmin and double the encode wall)."""
+        from mojap_arrow_pd_parser_spark.functions.codecs.intcodec import (
+            _pick_near_tie,
+        )
+
+        # delta2 0.5% smaller -> near-tie -> plain (cheapest) wins
+        assert _pick_near_tie({"plain": 1000, "delta2": 995}) == "plain"
+        # delta2 5% smaller -> genuine win -> delta2
+        assert _pick_near_tie({"plain": 1000, "delta2": 950}) == "delta2"
+        # among near-tied non-plain codecs, the cheaper rank wins
+        assert _pick_near_tie({"plain": 1000, "ffor": 501, "dict": 500}) == "ffor"
+        # exact ties break by rank, then estimate
+        assert _pick_near_tie({"rle": 500, "dict": 500}) == "rle"
+
     def test_choices_sensible(self):
         # constant chunk: FOR with width 0 (zero payload bytes) beats RLE
         assert choose_int_codec(INT_EDGE_ARRAYS["all_equal"]) == "ffor"
