@@ -232,6 +232,12 @@ def probe_window(
     it cannot condition on the headline ratio."""
     walls = []
     for i in range(attempts):
+        # budget gate BEFORE spending a child: a probe attempt costs
+        # ~35 s of 4-core time, so with no budget left (including the
+        # degenerate budget_sec=0 call) return dirty-but-free instead
+        # of burning un-budgeted work
+        if deadline is not None and deadline - time.monotonic() < 60.0:
+            break
         if i:
             idle = idles[min(i - 1, len(idles) - 1)]
             if deadline is not None:
@@ -762,7 +768,85 @@ def main() -> None:
         "scaling": scaling,
         "bench_total_sec": total,
     }
-    print(json.dumps(result))
+    print_result(result)
+
+
+#: the driver records only the LAST ~2000 stdout chars; the round-5
+#: artifact lost its headline because the one-line blob outgrew that
+#: window (BENCH_r05.json parsed:null). Keep the final line comfortably
+#: under the capture with margin for growth.
+HEADLINE_MAX_CHARS = 1500
+
+#: full-detail blob location (committed per-round; the headline line
+#: points here)
+DETAIL_FILE = "BENCH/last_run.json"
+
+
+def headline_of(result: dict) -> dict:
+    """Compact, driver-parseable summary of a full bench result.
+
+    Contract: the returned dict serializes to <= HEADLINE_MAX_CHARS and
+    always carries metric/value/unit/queries/sf (the driver contract)
+    plus the north-rule evidence (encode/decode tokens per sec,
+    compression ratio, round-trip mismatches, scaling efficiency with
+    its validity count). Field-dropping fallbacks keep the line under
+    the cap even if the query set grows: first the llm summary, then
+    per-query times.
+    """
+    sc = result.get("scaling") or {}
+    llm = result.get("llm_ops") or {}
+    head = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "encode_tokens_per_sec": result["encode_tokens_per_sec"],
+        "encode_file_aligned_tokens_per_sec": result[
+            "encode_file_aligned_tokens_per_sec"
+        ],
+        "decode_tokens_per_sec": result["decode_tokens_per_sec"],
+        "compression_ratio_vs_parquet_snappy": result[
+            "compression_ratio_vs_parquet_snappy"
+        ],
+        "roundtrip_mismatches": result["roundtrip_mismatches"],
+        "llm": {
+            k: llm[k]
+            for k in (
+                "salting_speedup",
+                "ann_ivf_recall_at10", "ann_ivf_scan_frac",
+                "ann_rplsh_recall_at10", "ann_rplsh_scan_frac",
+            )
+            if k in llm
+        },
+        "scaling": {
+            k: sc[k]
+            for k in (
+                "efficiency_n_to_4n", "valid_pairs",
+                "tokens_per_sec_lo", "tokens_per_sec_hi",
+                "cores_lo", "cores_hi",
+            )
+            if k in sc
+        },
+        "bench_total_sec": result["bench_total_sec"],
+        "detail_file": DETAIL_FILE,
+    }
+    for drop in ("llm", "queries"):
+        if len(json.dumps(head)) <= HEADLINE_MAX_CHARS:
+            break
+        head.pop(drop, None)
+    return head
+
+
+def print_result(result: dict) -> None:
+    """Persist the full detail blob, then print the compact headline as
+    the FINAL stdout line (the only line the driver is guaranteed to
+    capture)."""
+    detail_path = os.path.join(REPO, DETAIL_FILE)
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=2, sort_keys=True)
+    print(json.dumps(headline_of(result)))
 
 
 if __name__ == "__main__":

@@ -458,16 +458,22 @@ def _col_stats_overlap(m: dict, where: tuple) -> bool:
         return True
     if len(mm) == 3:  # tagged domain: dec / ts / date
         mn, mx, tag = mm
-        if tag == "dec":
-            bounds = _where_bound_strs(lo, hi, "dec")
+        try:
+            if tag == "dec":
+                bounds = _where_bound_strs(lo, hi, "dec")
+                if bounds is None:
+                    return True
+                lo_d = _decimal.Decimal(bounds[0])
+                hi_d = _decimal.Decimal(bounds[1])
+                return not (
+                    _decimal.Decimal(mx) < lo_d or _decimal.Decimal(mn) > hi_d
+                )
+            bounds = _where_bound_strs(lo, hi, tag)
             if bounds is None:
                 return True
-            lo_d, hi_d = _decimal.Decimal(bounds[0]), _decimal.Decimal(bounds[1])
-            return not (_decimal.Decimal(mx) < lo_d or _decimal.Decimal(mn) > hi_d)
-        bounds = _where_bound_strs(lo, hi, tag)
-        if bounds is None:
-            return True
-        return not (mx < bounds[0] or mn > bounds[1])
+            return not (mx < bounds[0] or mn > bounds[1])
+        except (_decimal.InvalidOperation, TypeError):
+            return True  # malformed/foreign tagged stats: keep the chunk
     mn, mx = mm
     numeric = (int, float)
     if isinstance(mn, bool) or isinstance(lo, bool):

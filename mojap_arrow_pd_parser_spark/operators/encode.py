@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 import zlib
 
 import pyarrow as pa
@@ -590,18 +591,22 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
             # manifest is tiny (one row per chunk) — commit it from
             # the driver with one atomic put and return the in-memory
             # view (spark.read can't reach the scheme either).
-            # Clear prior parts first: an earlier JVM-path write left
-            # part-00000-<uuid>.parquet names, and a glob reader over
-            # the directory must never see duplicate manifest rows.
+            # Write-then-clean: commit the new consolidated part under
+            # a unique name FIRST, then delete stale parts (an earlier
+            # JVM-path write left part-00000-<uuid>.parquet names, and
+            # a glob reader must never see duplicate manifest rows).
+            # A crash between the put and the cleanup leaves duplicates
+            # a re-run's cleanup removes — never an empty manifest.
             mp_dir = fsio.join(out_dir, "manifest.parquet")
-            for name, _sz in fsio.list_files(mp_dir):
-                if not name.startswith(("_", ".")):
-                    fs, p = fsio.resolve(fsio.join(mp_dir, name))
-                    fs.delete_file(p)
+            part_name = f"part-00000-{uuid.uuid4().hex}.parquet"
             fsio.write_parquet_atomic(
                 pa.concat_tables([_manifest_batch(m) for m in rows]),
-                fsio.join(mp_dir, "part-00000.parquet"),
+                fsio.join(mp_dir, part_name),
             )
+            for name, _sz in fsio.list_files(mp_dir):
+                if name != part_name and not name.startswith(("_", ".")):
+                    fs, p = fsio.resolve(fsio.join(mp_dir, name))
+                    fs.delete_file(p)
             return cons
         cons.coalesce(1).write.mode("overwrite").parquet(
             fsio.join(out_dir, "manifest.parquet")

@@ -2036,6 +2036,101 @@ GROUP BY source ORDER BY source
 """
 
 
+def _build_q50_artifacts(spark) -> tuple[str, str]:
+    """(src, enc) dirs for the compaction/GC lifecycle oracle — the
+    lakehouse rewrite-safety invariant (the reference's round-trip
+    guarantee, /root/reference/tests/test_round_trip.py:40-74, carried
+    through a REWRITE of the stored files, not just one encode pass).
+
+    The deterministic tokens table is encoded deliberately UNDERSIZED
+    (16 chunks of ~125 rows), then ``compact_chunks`` merges the small
+    chunks into ~full-size ones via REPLACE-semantics sidecars and
+    ``gc_superseded`` physically deletes the superseded files. The
+    build asserts the lifecycle actually ran — live chunks strictly
+    fewer than encoded, zero superseded chunks remaining — so q50's
+    oracle agreement certifies the post-GC live view, not a no-op."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.encode import (
+        compact_chunks, encode_table, live_chunks, scan_done_chunks,
+    )
+
+    src_dir = f"{ARTIFACT_DIR}/q50_src"
+    enc_dir = f"{ARTIFACT_DIR}/q50_enc"
+    tokens_table(spark, 2000, seed=777, avg_len=32).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(
+        spark, spark.read.parquet(src_dir), enc_dir, key="doc_id", n_chunks=16
+    )
+    n_before = len(scan_done_chunks(enc_dir))
+    compact_chunks(spark, enc_dir, min_rows=200, gc=True)
+    done = scan_done_chunks(enc_dir)
+    assert len(done) < n_before, "compaction merged nothing"
+    assert len(done) == len(live_chunks(done)), "GC left superseded chunks"
+    return src_dir, enc_dir
+
+
+def _ensure_q50_artifacts(spark) -> tuple[str, str]:
+    from .operators.encode import live_chunks, scan_done_chunks
+    from .sources import fsio
+
+    dirs = (f"{ARTIFACT_DIR}/q50_src", f"{ARTIFACT_DIR}/q50_enc")
+    try:
+        done = scan_done_chunks(dirs[1])
+        ok = (
+            fsio.exists(f"{dirs[0]}/_SUCCESS")
+            # post-lifecycle shape: fewer than the 16 encoded chunks
+            # remain AND none of them is superseded (GC completed) —
+            # a crash mid-build leaves 16 (or superseded) chunks and
+            # triggers a rebuild
+            and 0 < len(done) < 16
+            and len(done) == len(live_chunks(done))
+        )
+    except OSError:
+        ok = False
+    return dirs if ok else _build_q50_artifacts(spark)
+
+
+def q50_compaction_gc_roundtrip(spark, sf):
+    """Full storage lifecycle under oracle: encode small -> compact
+    (REPLACE sidecars) -> GC (physical delete) -> decode the live
+    view. The DuckDB oracle recomputes per-source count, token-count
+    sum, token-VALUE sum (content checksum, not just shape) and key
+    extrema from the untouched source parquet — agreement proves the
+    rewrite lost no row, duplicated no row, and altered no token."""
+    from .operators.decode import decode_table
+
+    _src, enc_dir = _ensure_q50_artifacts(spark)
+    dec = decode_table(spark, enc_dir)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q50 = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM read_parquet('{ARTIFACT_DIR}/q50_src/*.parquet')
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2086,4 +2181,5 @@ QUERIES = {
     "q47_pii_redaction": (q47_pii_redaction, SQL_Q47),
     "q48_decimal_pruned_decode": (q48_decimal_pruned_decode, SQL_Q48),
     "q49_timestamp_pruned_decode": (q49_timestamp_pruned_decode, SQL_Q49),
+    "q50_compaction_gc_roundtrip": (q50_compaction_gc_roundtrip, SQL_Q50),
 }

@@ -205,3 +205,116 @@ def test_bounds_scale_with_sf(monkeypatch):
     assert s["hi_bound_sec"] == 2.5
     assert s["lo_bound_sec"] == 10.0
     assert s["pair_valid"] == [True, True, False]
+
+
+def test_probe_window_zero_budget_spends_no_child(monkeypatch):
+    """ADVICE r5: with no budget remaining (deadline already passed),
+    probe_window must return immediately WITHOUT launching a hi-core
+    child — budget_sec=0 previously still burned ~35 s of 4-core work."""
+    import time as _time
+
+    def no_child(cores, repeats=1):  # pragma: no cover - must not run
+        pytest.fail("probe_window spent a child with zero budget")
+
+    monkeypatch.setattr(bench, "child_encode", no_child)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    p = bench.probe_window(25.0, attempts=3, deadline=_time.monotonic())
+    assert p == {"walls": [], "clean": False}
+
+
+def _full_result_like_r5():
+    """A full bench result shaped (and sized) like the round-5 run
+    whose one-line serialization outgrew the driver's capture."""
+    queries = {"encode": 10.2, "verify_roundtrip": 4.1}
+    queries.update({f"q{i:02d}_some_query_name_here": 1.234 for i in range(1, 13)})
+    return {
+        "metric": "encode+verify+queries wall (tokens table + driver tables)",
+        "value": 55.55,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "encode_tokens_per_sec": 46_800_000,
+        "encode_tokens": 119_913_021,
+        "encode_file_aligned_sec": 3.98,
+        "encode_file_aligned_tokens_per_sec": 30_100_000,
+        "decode_sec": 2.781,
+        "decode_tokens_per_sec": 43_137_128,
+        "compression_ratio_vs_parquet_snappy": 0.7088,
+        "roundtrip_mismatches": 0,
+        "llm_ops": {f"op_{i}_some_measured_row_sec": 1.0 for i in range(20)},
+        "scaling": {
+            "cores_lo": 1, "cores_hi": 4,
+            "walls_lo": [77.5, 65.4, 74.8, 103.1, 64.0],
+            "walls_hi": [43.9, 26.9, 21.1, 21.6, 18.4],
+            "tokens": TOKENS,
+            "tokens_per_sec_lo": 6_404_478,
+            "tokens_per_sec_hi": 22_141_762,
+            "estimator": "x" * 400,
+            "per_pair_efficiencies_raw": [0.441, 0.608, 0.887, 1.19, 0.867],
+            "per_pair_efficiencies": [0.441, 0.608, 0.887, 1.0, 0.867],
+            "pair_valid": [False, False, True, False, True],
+            "valid_pairs": 2,
+            "efficiency_n_to_4n": 0.877,
+            "window_probe": {"pre_phase": {"walls": [47.4, 38.0, 31.4],
+                                           "clean": False}},
+            "budget_sec": 2600.0,
+        },
+        "bench_total_sec": 2841.5,
+    }
+
+
+def test_headline_fits_driver_capture_and_carries_north_rule_keys():
+    """VERDICT r5 item 1: the FINAL stdout line must stay within the
+    driver's ~2000-char tail capture and carry the headline evidence
+    (throughputs, compression, mismatches, scaling efficiency)."""
+    import json as _json
+
+    full = _full_result_like_r5()
+    head = bench.headline_of(full)
+    line = _json.dumps(head)
+    assert len(line) <= bench.HEADLINE_MAX_CHARS
+    # driver contract keys
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in head
+    # north-rule evidence keys
+    assert head["encode_tokens_per_sec"] == 46_800_000
+    assert head["decode_tokens_per_sec"] == 43_137_128
+    assert head["compression_ratio_vs_parquet_snappy"] == 0.7088
+    assert head["roundtrip_mismatches"] == 0
+    assert head["scaling"]["efficiency_n_to_4n"] == 0.877
+    assert head["scaling"]["valid_pairs"] == 2
+    assert head["detail_file"] == bench.DETAIL_FILE
+
+
+def test_headline_drops_fields_rather_than_overflow():
+    import json as _json
+
+    full = _full_result_like_r5()
+    # pathologically wide query set: the fallback must shed fields,
+    # never emit an over-cap line
+    full["queries"] = {f"q_{i}_very_long_query_label_padding": 1.0
+                      for i in range(200)}
+    head = bench.headline_of(full)
+    assert len(_json.dumps(head)) <= bench.HEADLINE_MAX_CHARS
+    assert head["scaling"]["efficiency_n_to_4n"] == 0.877
+
+
+def test_print_result_writes_detail_and_prints_compact_line(
+    monkeypatch, tmp_path, capsys
+):
+    import json as _json
+    import os as _os
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    full = _full_result_like_r5()
+    bench.print_result(full)
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    # final stdout line is the compact headline
+    head = _json.loads(out_lines[-1])
+    assert len(out_lines[-1]) <= bench.HEADLINE_MAX_CHARS
+    assert head["value"] == 55.55
+    # full detail blob round-trips from the file the headline points to
+    with open(_os.path.join(str(tmp_path), head["detail_file"])) as f:
+        detail = _json.load(f)
+    assert detail["scaling"]["walls_lo"] == full["scaling"]["walls_lo"]
+    assert detail["llm_ops"] == full["llm_ops"]

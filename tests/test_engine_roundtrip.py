@@ -495,3 +495,39 @@ def test_key_range_and_where_compose(spark, src, tmp_path):
         key_range=(lo, hi), where=("n_tok", 10**9, 2 * 10**9),
     )
     assert none.columns == ["source"] and none.count() == 0
+
+
+def test_malformed_tagged_stats_keep_the_chunk():
+    """ADVICE r5: _col_stats_overlap's documented contract is that
+    missing/incomparable stats KEEP the chunk — a malformed 'dec' stat
+    string or a foreign 3-element stat must not raise, it must return
+    True (conservative: never wrongly prune)."""
+    import datetime as dt
+    import json as _json
+    from decimal import Decimal
+
+    from mojap_arrow_pd_parser_spark.operators.decode import _col_stats_overlap
+
+    def m(stats):
+        return {"col_stats": _json.dumps(stats)}
+
+    # malformed decimal stat string -> InvalidOperation inside -> keep
+    assert _col_stats_overlap(
+        m({"p": ["not-a-decimal", "also-bad", "dec"]}),
+        ("p", Decimal("1"), Decimal("2")),
+    )
+    # foreign 3-element stat with non-string elements vs ts bounds ->
+    # TypeError inside -> keep
+    assert _col_stats_overlap(
+        m({"t": [123, {"x": 1}, "ts"]}),
+        ("t", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)),
+    )
+    # unknown tag -> bounds None -> keep
+    assert _col_stats_overlap(
+        m({"c": ["a", "b", "weird-tag"]}), ("c", "a", "z")
+    )
+    # well-formed disjoint decimal stat still prunes (fix didn't widen)
+    assert not _col_stats_overlap(
+        m({"p": ["100.00", "200.00", "dec"]}),
+        ("p", Decimal("1"), Decimal("2")),
+    )
