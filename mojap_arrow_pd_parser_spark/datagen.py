@@ -120,6 +120,81 @@ def tokens_table(
     return base.mapInArrow(gen, schema=TOKENS_SCHEMA)
 
 
+EMBEDDINGS_SCHEMA = "vec_id long, cluster int, embedding array<float>"
+
+
+def _mog_centroids(k: int, dim: int, seed: int) -> np.ndarray:
+    """(k, dim) unit-norm mixture centroids, Philox-derived so every
+    executor (and the driver-side query builder) regenerates them
+    identically — nothing to broadcast."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0xC3]))
+    c = rng.standard_normal((k, dim))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).astype(np.float64)
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n_rows: int,
+    dim: int = 64,
+    k: int = 32,
+    seed: int = 7,
+    noise: float = 0.05,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embedding table — REAL
+    cluster structure, unlike the driver testdata's isotropic vectors
+    where recall can never beat the scanned fraction (any index's
+    information-theoretic ceiling on structureless data). Each row is
+    centroid[cluster] + noise*N(0,I), counter-keyed per vec_id, so the
+    same (seed, n_rows) is bit-identical at any parallelism. With the
+    default noise, within-cluster cosine ~0.85 vs cross-cluster ~0 —
+    separable, so ANN recall measurably exceeds scan fraction."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_rows, numPartitions=partitions)
+    cents = _mog_centroids(k, dim, seed)
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0).to_numpy()
+            clusters = np.empty(len(ids), dtype=np.int32)
+            vecs = np.empty((len(ids), dim), dtype=np.float32)
+            for j, i in enumerate(ids.tolist()):
+                rng = np.random.Generator(np.random.Philox(key=[seed, i]))
+                c = int(rng.integers(0, k))
+                clusters[j] = c
+                vecs[j] = (
+                    cents[c] + noise * rng.standard_normal(dim)
+                ).astype(np.float32)
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), dim
+            ).cast(pa.list_(pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(clusters, type=pa.int32()),
+                    emb,
+                ],
+                names=["vec_id", "cluster", "embedding"],
+            )
+
+    return base.mapInArrow(gen, schema=EMBEDDINGS_SCHEMA)
+
+
+def clustered_query_vec(
+    dim: int = 64, k: int = 32, seed: int = 7, noise: float = 0.05,
+    cluster: int = 0,
+) -> list[float]:
+    """A held-out query drawn from the SAME mixture component (counter
+    key -1, so it is no table row): the realistic ANN workload — the
+    answer set concentrates in one cluster."""
+    cents = _mog_centroids(k, dim, seed)
+    rng = np.random.Generator(np.random.Philox(key=[seed, 2**63 - 1]))
+    return (
+        (cents[cluster] + noise * rng.standard_normal(dim))
+        .astype(np.float32).tolist()
+    )
+
+
 def write_reference_parquet(
     spark: SparkSession, n_docs: int, path: str, seed: int = 42, avg_len: int = 256
 ) -> None:

@@ -293,6 +293,47 @@ def _live_pruned_files(
         marked.unpersist()
 
 
+def _dec_exact_bounds(lo, hi):
+    """(lo_lit, hi_lit, cast_type) — Spark decimal literals EXACTLY
+    representing the query bounds, or None when they don't fit a
+    decimal(38,s) (caller falls back to the 2-ULP-widened double
+    compare). Conservativeness proof: the bounds land ON the
+    decimal(38,s) grid, and Spark's string->decimal cast rounds
+    half-up to the NEAREST grid point, so for a stat value m >= lo the
+    rounded r = cast(m) is still >= lo (the nearest grid point to a
+    value at-or-above a grid point is at-or-above it) — hence
+    `r_max < lo` implies the exact `stat_max < lo` even when stats
+    carry more fractional digits than the bounds. Values whose integer
+    part overflows the type try_cast to NULL and keep the chunk.
+
+    The cast scale carries 6 GUARD digits beyond the bounds' scale
+    (capped so integer capacity still covers the bounds): stats with
+    up to 6 more fractional digits than the bounds compare EXACTLY
+    (dist == serial pruning); beyond that the compare degrades
+    gracefully to round-then-compare, which by the proof above can
+    only under-prune, never wrongly prune."""
+    import decimal as _decimal
+
+    try:
+        lo_d, hi_d = _decimal.Decimal(lo), _decimal.Decimal(hi)
+    except (_decimal.InvalidOperation, TypeError, ValueError):
+        return None
+    if not (lo_d.is_finite() and hi_d.is_finite()):
+        return None
+
+    def parts(d):
+        t = d.as_tuple()
+        return max(0, -t.exponent), max(0, len(t.digits) + t.exponent)
+
+    s = max(parts(lo_d)[0], parts(hi_d)[0])
+    p_int = max(parts(lo_d)[1], parts(hi_d)[1], 1)
+    if p_int + s > 38:  # bounds themselves don't fit: double fallback
+        return None
+    s_cast = min(s + 6, 38 - p_int)
+    dt = f"decimal(38,{s_cast})"
+    return F.lit(str(lo_d)).cast(dt), F.lit(str(hi_d)).cast(dt), dt
+
+
 def _dec_widened_bounds(lo, hi) -> tuple[float, float] | None:
     """[lo, hi] widened to doubles by 2 ULPs each way. The distributed
     "dec"-tagged prune compares decimal-string stats AS DOUBLES (a
@@ -341,6 +382,34 @@ def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
                 & ((arr_s[1] < lo_b) | (arr_s[0] > hi_b))
             )
 
+        def dec_tagged_disjoint(lo_b, hi_b):
+            """Disjointness on "dec"-tagged stats: EXACT decimal
+            compare when the bounds fit decimal(38,s) (matches the
+            serial path's decimal.Decimal compare), else the 2-ULP-
+            widened double compare (conservative for bounds beyond any
+            Spark decimal — e.g. raw floats with ~50-digit exact
+            expansions); None = never prune."""
+            ex = _dec_exact_bounds(lo_b, hi_b)
+            if ex is not None:
+                lo_l, hi_l, dt2 = ex
+                return (
+                    raw.isNotNull()
+                    & (F.size(arr_s) == 3)
+                    & (arr_s[2] == "dec")
+                    & ((arr_s[1].try_cast(dt2) < lo_l)
+                       | (arr_s[0].try_cast(dt2) > hi_l))
+                )
+            w = _dec_widened_bounds(lo_b, hi_b)
+            if w is None:
+                return None
+            return (
+                raw.isNotNull()
+                & (F.size(arr_s) == 3)
+                & (arr_s[2] == "dec")
+                & ((arr_s[1].try_cast("double") < F.lit(w[0]))
+                   | (arr_s[0].try_cast("double") > F.lit(w[1])))
+            )
+
         if (not is_bool
                 and isinstance(lo, numeric) and isinstance(hi, numeric)):
             # Representation chosen by the JSON literal form so the
@@ -363,27 +432,13 @@ def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
                 ).otherwise((arr_c[1] < lo_c) | (arr_c[0] > hi_c))
             )
             keep = keep & ~F.coalesce(disjoint, F.lit(False))
-            w = _dec_widened_bounds(lo, hi)
-            if w is not None:  # numeric bounds also prune decimal columns
-                dec_disjoint = (
-                    raw.isNotNull()
-                    & (F.size(arr_s) == 3)
-                    & (arr_s[2] == "dec")
-                    & ((arr_s[1].try_cast("double") < F.lit(w[0]))
-                       | (arr_s[0].try_cast("double") > F.lit(w[1])))
-                )
+            dec_disjoint = dec_tagged_disjoint(lo, hi)
+            if dec_disjoint is not None:  # numeric bounds prune dec cols too
                 keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
         elif not is_bool and isinstance(lo, _decimal.Decimal) \
                 and isinstance(hi, _decimal.Decimal):
-            w = _dec_widened_bounds(lo, hi)
-            if w is not None:
-                dec_disjoint = (
-                    raw.isNotNull()
-                    & (F.size(arr_s) == 3)
-                    & (arr_s[2] == "dec")
-                    & ((arr_s[1].try_cast("double") < F.lit(w[0]))
-                       | (arr_s[0].try_cast("double") > F.lit(w[1])))
-                )
+            dec_disjoint = dec_tagged_disjoint(lo, hi)
+            if dec_disjoint is not None:
                 keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
         elif isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
             bounds = _where_bound_strs(lo, hi, "ts")

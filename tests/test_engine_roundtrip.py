@@ -40,6 +40,40 @@ def test_datagen_deterministic(spark):
     assert 0 in lens and 1 in lens and max(lens) > 100
 
 
+def test_clustered_embeddings_deterministic_and_separable(spark):
+    """Mixture-of-Gaussians embedding datagen (the round-6 ANN bench
+    basis): partitioning-independent like tokens_table, and genuinely
+    CLUSTERED — within-cluster cosine far above cross-cluster, so ANN
+    recall can separate from scan fraction."""
+    import numpy as np
+
+    from mojap_arrow_pd_parser_spark.datagen import (
+        clustered_embeddings, clustered_query_vec,
+    )
+
+    a = clustered_embeddings(spark, 300, partitions=2).orderBy("vec_id").collect()
+    b = clustered_embeddings(spark, 300, partitions=7).orderBy("vec_id").collect()
+    assert a == b
+    assert len({r.cluster for r in a}) > 10  # many components populated
+    by_c = {}
+    for r in a:
+        by_c.setdefault(r.cluster, []).append(np.array(r.embedding))
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+    big = [c for c, v in by_c.items() if len(v) >= 2][:5]
+    within = [cos(by_c[c][0], by_c[c][1]) for c in big]
+    cross = [cos(by_c[big[i]][0], by_c[big[i + 1]][0])
+             for i in range(len(big) - 1)]
+    assert min(within) > 0.7
+    assert max(cross) < 0.4
+    # the held-out query lands in its own component, not in the table
+    q = np.array(clustered_query_vec(cluster=int(big[0])))
+    assert cos(q, by_c[big[0]][0]) > 0.7
+    assert all(r.vec_id != 2**63 - 1 for r in a)
+
+
 def test_encode_decode_roundtrip(spark, src, tmp_path):
     out = str(tmp_path / "enc")
     manifest = encode_table(spark, src, out, key="doc_id", n_chunks=8)

@@ -233,8 +233,20 @@ class TestS3WritePath:
         # decode via the distributed pyarrow fallback (no hadoop-aws jars)
         assert decode_table(spark, out).count() == 400
         assert verify_roundtrip(spark, src, out)["mismatches"] == 0
-        # consolidated manifest committed driver-side (JVM can't write s3)
-        assert fsio.exists(f"{out}/manifest.parquet/part-00000.parquet")
+        # consolidated manifest committed driver-side (JVM can't write
+        # s3); write-then-clean leaves exactly ONE uniquely-named part
+        parts = [
+            n for n, _sz in fsio.list_files(f"{out}/manifest.parquet")
+            if not n.startswith(("_", "."))
+        ]
+        assert len(parts) == 1 and parts[0].startswith("part-00000-")
+        # re-consolidating replaces it without ever duplicating rows
+        encode_table(spark, src, out, key="doc_id", n_chunks=4, resume=True)
+        parts2 = [
+            n for n, _sz in fsio.list_files(f"{out}/manifest.parquet")
+            if not n.startswith(("_", "."))
+        ]
+        assert len(parts2) == 1 and parts2 != parts
 
     def test_resume_on_s3_reencodes_only_missing_bucket(self, spark, moto_s3):
         from mojap_arrow_pd_parser_spark.datagen import tokens_table

@@ -211,6 +211,15 @@ def _prune_both_paths(spark, root, kr=None, wh=None):
         (None, ("dval", 12, 19)),                # int bounds on dec stats
         (None, ("dval", "a", "b")),              # string bounds: no prune
         (None, ("dval", Decimal("1e30"), Decimal("2e30"))),  # empty survivors
+        # exact-boundary case (VERDICT r5 #7): lo sits 1e-16 above the
+        # "13.75" stat max — EXACT decimal pruning skips chunk 13 (as
+        # the serial path always did) where the old 2-ULP-widened
+        # double compare kept it (13.7500000000000001 rounds to the
+        # double 13.75, and widening only moves further away)
+        (None, ("dval", Decimal("13.7500000000000001"), Decimal("20.25"))),
+        # bounds beyond decimal(38): exact path declines, widened
+        # double fallback still prunes everything conservatively
+        (None, ("dval", Decimal("1e40"), Decimal("2e40"))),
         (None, ("tval", dtm.datetime(2024, 1, 1, 0, 10),
                 dtm.datetime(2024, 1, 1, 0, 20))),
         (None, ("tval", 100, 200)),              # numeric bounds: no prune
