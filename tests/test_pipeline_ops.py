@@ -317,11 +317,98 @@ class TestMultimodal:
         assert again[rows[0].media_id] == rows[0].feature
 
     def test_real_decode_stubbed(self):
-        """Non-BMP image codecs and audio/video stay gated."""
+        """Non-BMP image codecs, non-WAV audio, and video stay gated;
+        a RIFF container that isn't valid PCM WAV fails loudly in the
+        REAL decoder (ValueError), not silently."""
         with pytest.raises(NotImplementedError, match="media libraries"):
             multimodal.decode_payload(b"xx", "image", fake=False)
         with pytest.raises(NotImplementedError, match="media libraries"):
-            multimodal.decode_payload(b"RIFF....WAVE", "audio", fake=False)
+            multimodal.decode_payload(b"ID3\x03mp3junk", "audio", fake=False)
+        with pytest.raises(NotImplementedError, match="media libraries"):
+            multimodal.decode_payload(b"\x00\x00mp4junk", "video", fake=False)
+        with pytest.raises(ValueError, match="fmt/data"):
+            multimodal.decode_payload(b"RIFF\x04\x00\x00\x00WAVE", "audio",
+                                      fake=False)
+
+    def test_wav_codec_roundtrip(self):
+        """encode_wav -> decode_wav is sample-identical for int16 and
+        uint8 PCM, mono and stereo, odd byte counts (2-byte chunk
+        padding), and tolerates extra chunks between fmt and data."""
+        import struct as _struct
+
+        import numpy as np
+
+        rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+        cases = [
+            (rng.integers(-32768, 32767, (161,), dtype=np.int16), 8000),
+            (rng.integers(-32768, 32767, (240, 2), dtype=np.int16), 16000),
+            (rng.integers(0, 256, (99,), dtype=np.uint8), 22050),  # odd bytes
+            (rng.integers(0, 256, (50, 2), dtype=np.uint8), 44100),
+        ]
+        for samples, rate in cases:
+            data = multimodal.encode_wav(samples, rate)
+            back, back_rate = multimodal.decode_wav(data)
+            want = samples[:, None] if samples.ndim == 1 else samples
+            assert back_rate == rate
+            assert back.dtype == samples.dtype
+            assert (back == want).all()
+        # extra chunk between fmt and data is skipped, not fatal
+        samples, rate = cases[0]
+        data = multimodal.encode_wav(samples, rate)
+        fmt_end = 12 + 8 + 16
+        extra = _struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # padded
+        spliced = bytearray(data[:fmt_end] + extra + data[fmt_end:])
+        _struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+        back, back_rate = multimodal.decode_wav(bytes(spliced))
+        assert back_rate == rate and (back[:, 0] == samples).all()
+        # malformed inputs fail loudly
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_wav(data[:-10])
+        float_fmt = bytearray(data)
+        _struct.pack_into("<H", float_fmt, 20, 3)  # IEEE-float format tag
+        with pytest.raises(ValueError, match="integer PCM"):
+            multimodal.decode_wav(bytes(float_fmt))
+
+    def test_real_audio_features(self, spark):
+        """REAL PCM frames end-to-end (no libraries): WAV datagen ->
+        fake=False feature extraction through the distributed
+        mapInPandas path; features reflect the actual waveform."""
+        import numpy as np
+
+        media = multimodal.synthetic_media_table(
+            spark, n_rows=30, real_audio=True
+        )
+        auds = media.filter("modality = 'audio'")
+        rows = {
+            r.media_id: r
+            for r in multimodal.extract_features(auds, fake=False).collect()
+        }
+        assert len(rows) == auds.count() > 0
+        local = {r.media_id: r.payload for r in auds.collect()}
+        saw_pcm8 = saw_pcm16 = False
+        for mid, r in rows.items():
+            samples, rate = multimodal.decode_wav(local[mid])
+            saw_pcm8 |= samples.dtype == np.uint8
+            saw_pcm16 |= samples.dtype == np.int16
+            expect = multimodal.audio_features(samples, rate)
+            assert np.allclose(np.array(r.feature), expect)
+            # features are real: a 0.5-amplitude sine has RMS ~0.35
+            assert 0.2 < r.feature[2] < 0.5
+            # and near-zero mean (no DC offset in the fixture)
+            assert abs(r.feature[0]) < 0.05
+        assert saw_pcm8 and saw_pcm16  # datagen exercised both widths
+
+    def test_real_mixed_modality_features(self, spark):
+        """One fake=False pass over a MIXED real-BMP + real-WAV table:
+        the same mapInPandas job dispatches per-row on modality."""
+        media = multimodal.synthetic_media_table(
+            spark, n_rows=24, real_images=True, real_audio=True
+        )
+        both = media.filter("modality IN ('image', 'audio')")
+        feats = multimodal.extract_features(both, fake=False)
+        rows = feats.collect()
+        assert len(rows) == both.count() > 0
+        assert all(len(r.feature) == multimodal.FEATURE_DIM for r in rows)
 
     def test_bmp_codec_roundtrip(self):
         """encode_bmp -> decode_bmp is pixel-identical, padding and
@@ -392,6 +479,91 @@ class TestMultimodal:
         media = multimodal.synthetic_media_table(spark, n_rows=9)
         plan = multimodal.frame_sample_plan(media, every_ms=60_000)
         assert plan.filter(F.col("frame_ts_ms") % 60_000 != 0).count() == 0
+
+    def test_avi_codec_roundtrip(self):
+        """encode_avi -> decode_avi is pixel- and fps-identical across
+        frame counts / odd geometries (4-byte DIB row padding), and
+        malformed or compressed payloads fail loudly."""
+        import struct as _struct
+
+        import numpy as np
+
+        rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+        for shape, fps in [
+            ((6, 9, 13, 3), 10), ((1, 16, 16, 3), 24), ((4, 7, 5, 3), 15),
+        ]:
+            frames = rng.integers(0, 256, shape, dtype=np.uint8)
+            data = multimodal.encode_avi(frames, fps)
+            back, back_fps = multimodal.decode_avi(data)
+            assert back.shape == frames.shape
+            assert (back == frames).all()
+            assert back_fps == fps
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.decode_avi(data[:-20])
+        compressed = bytearray(data)
+        # flip strf biCompression (header layout fixed by encode_avi:
+        # RIFF(12) + LIST/hdrl(12) + avih(8+56) + LIST/strl(12) +
+        # strh(8+56) + strf hdr(8) + 16 bytes into BITMAPINFOHEADER
+        off = 12 + 12 + 64 + 12 + 64 + 8 + 16
+        _struct.pack_into("<I", compressed, off, 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="uncompressed"):
+            multimodal.decode_avi(bytes(compressed))
+
+    def test_real_video_features_and_frames(self, spark):
+        """REAL AVI frames end-to-end (no libraries): AVI datagen ->
+        fake=False feature extraction AND frame sampling through the
+        distributed mapInPandas paths; features reflect the actual
+        frames and sampled frames are pixel-exact."""
+        import numpy as np
+
+        media = multimodal.synthetic_media_table(
+            spark, n_rows=18, real_video=True
+        )
+        vids = media.filter("modality = 'video'")
+        rows = {
+            r.media_id: r
+            for r in multimodal.extract_features(vids, fake=False).collect()
+        }
+        assert len(rows) == vids.count() > 0
+        local = {r.media_id: r.payload for r in vids.collect()}
+        for mid, r in rows.items():
+            frames, fps = multimodal.decode_avi(local[mid])
+            expect = multimodal.video_features(frames, fps)
+            assert np.allclose(np.array(r.feature), expect)
+            # the moving-gradient fixture has real motion energy
+            assert r.feature[11] > 0.01
+        # sampled frames are the exact decoded frames at each ts
+        sampled = multimodal.sample_frames(
+            vids, every_ms=100, fake=False
+        ).collect()
+        assert len(sampled) > len(rows)  # multiple frames per video
+        for s in sampled[:12]:
+            frames, fps = multimodal.decode_avi(local[s.media_id])
+            idx = min(len(frames) - 1, int(s.frame_ts_ms * fps / 1000))
+            got = np.frombuffer(s.frame, dtype=np.uint8).reshape(
+                s.frame_h, s.frame_w, 3
+            )
+            assert (got == frames[idx]).all()
+        # fake frame sampling still emits the plan's timestamps
+        fake_frames = multimodal.sample_frames(
+            media, every_ms=60_000, fake=True
+        )
+        assert fake_frames.filter(
+            F.col("frame_ts_ms") % 60_000 != 0
+        ).count() == 0
+
+    def test_real_three_modality_features(self, spark):
+        """One fake=False pass over a table where ALL THREE modalities
+        are real library-free payloads: the same mapInPandas job
+        dispatches per-row (BMP pixels / WAV samples / AVI frames)."""
+        media = multimodal.synthetic_media_table(
+            spark, n_rows=24, real_images=True, real_audio=True,
+            real_video=True,
+        )
+        feats = multimodal.extract_features(media, fake=False)
+        rows = feats.collect()
+        assert len(rows) == media.count() == 24
+        assert all(len(r.feature) == multimodal.FEATURE_DIM for r in rows)
 
 
 class TestStreaming:
