@@ -988,10 +988,11 @@ SQL_Q22 = _sql_ann()
 
 
 def q23_multimodal_features(spark, sf):
-    """Multimodal plumbing, oracled for its REAL part: the persisted
-    media table's payload bytes are measured by the mapInPandas UDF on
-    the Spark side and by octet_length in DuckDB (the feature decode
-    stays a documented stub)."""
+    """Multimodal plumbing, oracled for its SQL-expressible part: the
+    persisted media table's payload bytes are measured by the
+    mapInPandas UDF on the Spark side and by octet_length in DuckDB.
+    (Feature values aren't SQL-expressible; the REAL decode paths are
+    covered by q51 and TestMultimodal's pixel/sample-exact tests.)"""
     from .operators.multimodal import extract_features, synthetic_media_table
 
     media_dir = f"{ARTIFACT_DIR}/q23_media"
@@ -2131,6 +2132,48 @@ GROUP BY source ORDER BY source
 """
 
 
+def q51_video_frame_sample(spark, sf):
+    """REAL video decode, oracled: every payload is a genuine
+    uncompressed-DIB RIFF/AVI (pure-numpy codec, no media libraries);
+    the Spark side decodes ACTUAL frames and samples one per 100 ms
+    (operators/multimodal.py sample_frames, fake=False), while DuckDB
+    independently predicts the sampled-frame count, geometry, and raw
+    RGB byte volume from the metadata columns alone — so a decoder
+    that mis-parsed fps, frame count, dimensions, or row padding
+    mismatches. Scale shape: mapInPandas over payload batches, frame
+    stacks bounded by batch_rows (the 100-TB media path)."""
+    from .operators.multimodal import sample_frames, synthetic_media_table
+
+    media_dir = f"{ARTIFACT_DIR}/q51_media"
+    synthetic_media_table(spark, n_rows=36, real_video=True).write.mode(
+        "overwrite"
+    ).parquet(media_dir)
+    media = spark.read.parquet(media_dir)
+    return (
+        sample_frames(media, every_ms=100, fake=False)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_w").alias("w"),
+            F.max("frame_h").alias("h"),
+            F.sum(F.octet_length("frame")).alias("rgb_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_Q51 = f"""
+SELECT media_id,
+       CAST(ceil(duration_ms / 100.0) AS BIGINT) AS n_sampled,
+       width AS w, height AS h,
+       CAST(ceil(duration_ms / 100.0) AS BIGINT)
+           * width * height * 3 AS rgb_bytes
+FROM read_parquet('{ARTIFACT_DIR}/q51_media/*.parquet')
+WHERE modality = 'video'
+ORDER BY media_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2182,4 +2225,5 @@ QUERIES = {
     "q48_decimal_pruned_decode": (q48_decimal_pruned_decode, SQL_Q48),
     "q49_timestamp_pruned_decode": (q49_timestamp_pruned_decode, SQL_Q49),
     "q50_compaction_gc_roundtrip": (q50_compaction_gc_roundtrip, SQL_Q50),
+    "q51_video_frame_sample": (q51_video_frame_sample, SQL_Q51),
 }
