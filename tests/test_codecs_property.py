@@ -115,3 +115,61 @@ def test_decimal_roundtrip_property(vals):
     meta, payload = encode_array(arr)
     out = decode_array(meta, payload)
     assert out.equals(arr)
+
+
+# ---------------------------------------------------------------------------
+# Media container codecs (round 6): the library-free BMP/WAV/AVI
+# parsers feed the REAL fake=False multimodal paths, so they get the
+# same property rigor as the columnar codecs.
+# ---------------------------------------------------------------------------
+
+from mojap_arrow_pd_parser_spark.operators import multimodal as mm  # noqa: E402
+
+
+@st.composite
+def rgb_frames(draw, max_frames=1):
+    n = draw(st.integers(1, max_frames))
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    data = draw(
+        st.binary(min_size=n * h * w * 3, max_size=n * h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(n, h, w, 3)
+
+
+@given(rgb_frames())
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(frames):
+    px = frames[0]
+    assert (mm.decode_bmp(mm.encode_bmp(px)) == px).all()
+
+
+@given(rgb_frames(max_frames=6), st.integers(1, 60))
+@settings(**SETTINGS)
+def test_avi_roundtrip_property(frames, fps):
+    back, back_fps = mm.decode_avi(mm.encode_avi(frames, fps))
+    assert back_fps == fps
+    assert back.shape == frames.shape
+    assert (back == frames).all()
+
+
+@st.composite
+def pcm_samples(draw):
+    dtype = draw(st.sampled_from([np.int16, np.uint8]))
+    n = draw(st.integers(1, 400))
+    n_ch = draw(st.integers(1, 3))
+    info = np.iinfo(dtype)
+    data = draw(st.binary(
+        min_size=n * n_ch * info.bits // 8,
+        max_size=n * n_ch * info.bits // 8,
+    ))
+    return np.frombuffer(data, dtype=dtype).reshape(n, n_ch)
+
+
+@given(pcm_samples(), st.integers(1, 192_000))
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(samples, rate):
+    back, back_rate = mm.decode_wav(mm.encode_wav(samples, rate))
+    assert back_rate == rate
+    assert back.dtype == samples.dtype
+    assert (back == samples).all()
