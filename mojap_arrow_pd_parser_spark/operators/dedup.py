@@ -422,3 +422,162 @@ def canonicalize_duplicates(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def positioned_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Word n-gram shingles WITH their token position: (id, pos, shingle).
+
+    Same gram construction as :func:`word_shingles` (so the two agree
+    token-for-token) but keeps the 0-based starting-token index via
+    ``posexplode`` — the input to passage-level (positional) dedup,
+    where *where* a duplicated shingle sits matters, not just that it
+    exists. Never distinct: positions are unique per (id, pos) by
+    construction.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "shingle")
+    ).filter(F.length("shingle") > 0)
+
+
+def duplicated_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_tokens: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Maximal duplicated passages per document — the exact
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed as a relational
+    composition instead of a suffix array: a token is duplicated iff
+    some word n-gram covering it also occurs elsewhere in the corpus.
+
+    Returns (id, span_start, span_end, span_tokens): 0-based inclusive
+    token bounds of each maximal duplicated span. Span coverage is
+    exact — duplicated shingles at positions p cover tokens
+    [p, p+n-1]; runs whose position gap is <= n have overlapping or
+    adjacent coverage and are merged into one span (gaps-and-islands
+    on the position sequence), so spans are disjoint and
+    sum(span_tokens) is the true duplicated-token count.
+
+    ``scope``:
+      * ``"cross_doc"`` (default) — a shingle is duplicated iff it
+        appears in >= 2 DISTINCT documents (decided by
+        ``MIN(id) <> MAX(id)``: one map-side-combinable aggregate, no
+        count-distinct expansion and no distinct pre-shuffle);
+      * ``"corpus"`` — any >= 2 occurrences, including self-repeats
+        within one document.
+
+    At 100 TB: the duplicated-shingle dictionary is ONE hash aggregate
+    on the shingle key; positions rejoin it with an equi-join (linear
+    in corpus shingles — no self-join, so hot shingles cost dictionary
+    entries, not df^2 candidate pairs); the islands window partitions
+    by document, so its sort is bounded by document length, never the
+    corpus. ``min_tokens`` (Lee et al. used 50) drops short spans
+    AFTER merging.
+    """
+    if scope not in ("cross_doc", "corpus"):
+        raise ValueError(f"scope must be cross_doc|corpus, got {scope!r}")
+    sh = positioned_shingles(df, text_col, id_col, n)
+    agg = (
+        (F.min("id") != F.max("id"))
+        if scope == "cross_doc"
+        else (F.count(F.lit(1)) > 1)
+    )
+    dup_dict = sh.groupBy("shingle").agg(agg.alias("_dup")).filter("_dup").select("shingle")
+    hits = sh.join(dup_dict, "shingle").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos", 1).over(w) > n, 1).otherwise(0)
+    islands = hits.withColumn("_island", F.sum(brk).over(w))
+    spans = (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+        )
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .select("id", "span_start", "span_end", "span_tokens")
+    )
+    if min_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= min_tokens)
+    return spans
+
+
+def duplicated_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_tokens: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Per-document duplicated-passage report: (id, n_spans,
+    dup_tokens, n_tokens) — the corpus-health view of
+    :func:`duplicated_passage_spans` (dup_tokens/n_tokens is the
+    duplicated fraction; integers only, so oracle-hash stable).
+    Documents with no duplicated span appear with zeros (LEFT join),
+    so the report covers the whole corpus.
+    """
+    spans = duplicated_passage_spans(df, text_col, id_col, n, min_tokens, scope)
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("n_tokens"),
+    )
+    return toks.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        "n_tokens",
+    )
+
+
+def strip_duplicated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_tokens: int | None = None,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Rewrite the corpus with duplicated passages REMOVED — the
+    materialization step of substring-level dedup (every other column
+    passes through; ``text_col`` is replaced by the normalized text
+    with covered tokens dropped).
+
+    Spans ride back to their documents as a collected array (bounded
+    by document length — spans are disjoint, so at most
+    len(doc)/(n+1) per doc) and the token filter runs as a JVM
+    higher-order function (``filter(words, (w, i) -> ...)``) — no
+    Python in the row path.
+    """
+    spans = (
+        duplicated_passage_spans(df, text_col, id_col, n, min_tokens, scope)
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+        .withColumnRenamed("id", "__strip_id")
+    )
+    joined = df.join(
+        spans, df[id_col] == F.col("__strip_id"), "left"
+    ).withColumn("_spans", F.coalesce("_spans", F.array()))
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+        ),
+    )
+    out = joined.withColumn(text_col, F.concat_ws(" ", kept))
+    return out.drop("_spans", "__strip_id")

@@ -385,3 +385,221 @@ def ann_search(
     bucketed = rp_lsh_buckets(df, len(query_vec), n_planes, seed, vec_col, id_col)
     cand = bucketed.filter(F.col("bucket").isin(probes)).drop("bucket")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the embedding-column codec FAISS/ScaNN
+# popularized. A d-dim float32 vector (4d bytes) compresses to m
+# uint8 codes (m bytes — 32x at d=64, m=8) by splitting it into m
+# subvectors and storing each subvector's nearest codeword id from a
+# per-subspace k-means codebook. Search never reconstructs: ADC
+# (asymmetric distance computation) sums per-subspace lookup-table
+# distances straight off the codes.
+#
+# Scale shape: fitting samples the corpus once (driver-side Lloyd on
+# the sample — the FAISS training recipe); encode/search are
+# stateless vectorized passes whose (m, k, d/m) codebook rides the
+# task closure like the IVF centroids, so the plan stays flat in both
+# k and corpus size, and the scan they run over is m bytes/row, not
+# 4d.
+# ---------------------------------------------------------------------------
+
+
+def _pq_split(mat: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) -> (n, m, d/m) contiguous subvector view."""
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    return mat.reshape(n, m, d // m)
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the (m, k, d/m) PQ codebooks on a deterministic sample.
+
+    The sample is the ``sample_rows`` lowest-id vectors (Spark executes
+    orderBy+limit as a per-partition partial top-k, so this never sorts
+    the corpus); Lloyd runs per subspace on the driver with seeded
+    init, ties to the lowest codeword, empty clusters keeping their
+    previous centroid — fully deterministic for a given (df, seed), so
+    callers can persist the codebooks and every downstream code is
+    re-derivable (the q33 centroid-artifact pattern).
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if mat.shape[0] < k:
+        raise ValueError(f"sample has {mat.shape[0]} rows < k={k} codewords")
+    subs = _pq_split(mat, m)  # (n, m, sd)
+    rs = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        x = subs[:, s, :]  # (n, sd)
+        cents = x[rs.choice(x.shape[0], size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # lowest-index tie-break
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (m, k, sd)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize: (id, codes array<smallint>) — codes[s] is the nearest
+    codeword id in subspace s (argmin ||v_s - c||^2, ties to lowest
+    cid via np.argmin). m bytes of information per vector; kept as
+    smallint for engine-portable storage (the chunk codec dictionary-
+    or bitpack-compresses it to ~log2(k) bits/code on disk)."""
+    cb = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, k, sd = cb.shape
+    cc = (cb * cb).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf("array<smallint>")
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        subs = _pq_split(mat, m)  # (b, m, sd)
+        out = np.empty((mat.shape[0], m), dtype=np.int16)
+        for s in range(m):
+            d = cc[s] - 2.0 * (subs[:, s, :] @ cb[s].T)  # (b, k)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_reconstruct(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Decode codes back to the (lossy) codeword concatenation —
+    the codec inverse used for round-trip distortion checks."""
+    cb = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, k, sd = cb.shape
+
+    @F.pandas_udf("array<double>")
+    def rec(c: pd.Series) -> pd.Series:
+        idx = np.vstack(c.to_numpy()).astype(np.int64)  # (b, m)
+        flat = cb[np.arange(m)[None, :], idx]  # (b, m, sd)
+        return pd.Series(list(flat.reshape(idx.shape[0], m * sd)))
+
+    return codes_df.select(F.col(id_col), rec(F.col(codes_col)).alias("vec"))
+
+
+def pq_adc_lut(codebooks: np.ndarray, query_vec) -> np.ndarray:
+    """(m, k) table of ||q_s - c||^2 — the per-query ADC lookup."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, sd = cb.shape
+    qs = np.asarray(query_vec, dtype=np.float64).reshape(m, 1, sd)
+    return ((qs - cb) ** 2).sum(axis=2)
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    topk: int = 10,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+    use_udf: bool = True,
+) -> DataFrame:
+    """ADC top-k over PQ codes: distance = sum_s LUT[s, codes[s]].
+
+    Two physical strategies (equivalent up to last-ulp summation
+    order; results rounded for cross-engine stability):
+
+    * ``use_udf=True`` (default, the scale path) — the (m, k) LUT
+      rides the task closure into a vectorized take+sum;
+    * ``use_udf=False`` — pure JVM expression: m ``element_at`` probes
+      into array literals, folded left-to-right (the exact arithmetic
+      a SQL oracle replicates; plan size O(m*k) literals, so only for
+      small k).
+
+    Either way the scan is over m smallint codes per row — the whole
+    point of PQ at 100 TB: candidate generation without touching the
+    4d-byte vectors.
+    """
+    lut = pq_adc_lut(codebooks, query_vec)
+    m, k = lut.shape
+    if use_udf:
+        @F.pandas_udf("double")
+        def ad2(c: pd.Series) -> pd.Series:
+            idx = np.vstack(c.to_numpy()).astype(np.int64)  # (b, m)
+            return pd.Series(lut[np.arange(m)[None, :], idx].sum(axis=1))
+
+        dist = ad2(F.col(codes_col))
+    else:
+        dist = F.lit(0.0)
+        for s in range(m):
+            row = F.array(*[F.lit(float(x)) for x in lut[s]])
+            dist = dist + F.element_at(
+                row, F.col(codes_col)[s].cast("int") + 1
+            )
+    return (
+        codes_df.select(
+            F.col(id_col), F.round(dist, round_digits).alias("ad2")
+        )
+        .orderBy(F.col("ad2").asc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def pq_shortlist_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """The full PQ search recipe: ADC over the m-byte codes produces a
+    ``shortlist``-sized candidate set, which re-ranks EXACTLY against
+    the float vectors. PQ's quantization error blurs fine ordering
+    (codes can't rank vectors closer together than the codeword
+    spacing), so top-k straight off ADC is approximate — but the true
+    neighbors land comfortably inside a modest shortlist, and the
+    re-rank touches only ``shortlist`` full-width vectors.
+
+    At 100 TB: the scan that does the work reads m bytes/vector (the
+    codes column), the shortlist is a broadcast semi-join back to the
+    vector table, and the exact math runs on ``shortlist`` rows — the
+    FAISS IVF-PQ + refine pattern as two DataFrame stages.
+    """
+    cand = pq_search(
+        codes_df, codebooks, query_vec,
+        topk=shortlist, id_col=id_col, round_digits=round_digits,
+    ).select(id_col)
+    qarr = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    diff2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qarr, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(diff2, round_digits).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2174,6 +2174,172 @@ ORDER BY media_id
 """
 
 
+def q52_duplicated_passages(spark, sf):
+    """Substring-level (positional) dedup report — the exact
+    duplicated-passage accounting of Lee et al. 2022, relationally.
+
+    Corpus: documents ∪ twins that copy each doc's first 10
+    normalized tokens behind a twin-unique head token, so every
+    original/twin pair shares a ~10-token passage (plus whatever
+    cross-document repetition the corpus already has) while the rest
+    of each twin is unique. Stats over 3-gram shingles, spans kept at
+    >= 5 tokens.
+    """
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    w10 = F.slice(F.split(dedup.normalize_text(F.col("text")), " "), 1, 10)
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("tw"), F.col("doc_id").cast("string")),
+            F.concat_ws(" ", w10),
+        ).alias("text"),
+    )
+    corpus = d.unionAll(twin)
+    return (
+        dedup.duplicated_passage_stats(
+            corpus, "text", "doc_id", n=3, min_tokens=5
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_Q52 = r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         'tw' || CAST(doc_id AS VARCHAR) || ' ' ||
+         array_to_string(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:10],
+           ' ') AS text
+  FROM base
+),
+docs AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+words AS (SELECT id, string_split(t, ' ') AS ws FROM docs),
+grams AS (
+  SELECT id, i - 1 AS pos, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+dupsh AS (SELECT shingle FROM grams GROUP BY shingle HAVING MIN(id) <> MAX(id)),
+hits AS (SELECT g.id, g.pos FROM grams g JOIN dupsh USING (shingle)),
+brk AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 3
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT id, pos,
+         SUM(b) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM brk
+),
+spans AS (
+  SELECT id, island, MIN(pos) AS s, MAX(pos) + 2 AS e
+  FROM isl GROUP BY id, island
+),
+good AS (SELECT id, e - s + 1 AS span_tokens FROM spans WHERE e - s + 1 >= 5),
+stats AS (
+  SELECT id, COUNT(*) AS n_spans, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM good GROUP BY id
+),
+toks AS (SELECT id, len(ws) AS n_tokens FROM words)
+SELECT t.id AS doc_id,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       n_tokens
+FROM toks t LEFT JOIN stats USING (id)
+ORDER BY doc_id
+"""
+
+
+def q53_pq_adc_topk(spark, sf):
+    """Product-quantization ANN: fit (m=8, k=16) codebooks (the only
+    stochastic step; persisted as an artifact), quantize every vector
+    to 8 codes, ADC top-10 for the query vector. The oracle re-derives
+    EVERY code (per-subspace ||v_s - c||^2 argmin, ties to lowest cid)
+    and the ADC sums from the persisted codebooks alone — nothing
+    engine-side is trusted."""
+    import pandas as pd
+    import numpy as np
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    books = similarity.pq_fit(emb, m=8, k=16)
+    rows = [
+        {"sub": s, "cid": c, "centroid": books[s, c].tolist()}
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    cdf = spark.createDataFrame(pd.DataFrame(rows))
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{ARTIFACT_DIR}/q53_codebooks")
+    persisted = (
+        spark.read.parquet(f"{ARTIFACT_DIR}/q53_codebooks")
+        .orderBy("sub", "cid")
+        .collect()
+    )
+    books = np.array([r.centroid for r in persisted], dtype="float64").reshape(
+        books.shape
+    )
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_shortlist_rerank(
+        emb, codes, books, _query_vec(spark, sf), k=10, shortlist=50
+    )
+
+
+SQL_Q53 = f"""
+WITH cb AS (
+  SELECT sub, cid, CAST(centroid AS DOUBLE[]) AS c
+  FROM read_parquet('{{ARTIFACT_DIR}}/q53_codebooks/*.parquet')
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+subs AS (SELECT DISTINCT sub FROM cb),
+vsub AS (
+  SELECT vec_id, sub, v[sub*8+1 : sub*8+8] AS vs FROM vecs, subs
+),
+asg AS (
+  SELECT vec_id, vsub.sub, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, vsub.sub
+           ORDER BY list_dot_product(vs, vs) - 2*list_dot_product(vs, c)
+                    + list_dot_product(c, c),
+                    cid
+         ) AS rn
+  FROM vsub JOIN cb ON cb.sub = vsub.sub
+),
+codes AS (SELECT vec_id, sub, cid FROM asg WHERE rn = 1),
+qsub AS (SELECT sub, qv[sub*8+1 : sub*8+8] AS qs FROM q, subs),
+lut AS (
+  SELECT cb.sub, cb.cid,
+         list_dot_product(qs, qs) - 2*list_dot_product(qs, c)
+           + list_dot_product(c, c) AS ld
+  FROM qsub JOIN cb ON cb.sub = qsub.sub
+),
+adc AS (
+  SELECT codes.vec_id, round(SUM(ld), 5) AS ad2
+  FROM codes JOIN lut ON lut.sub = codes.sub AND lut.cid = codes.cid
+  GROUP BY codes.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT 50)
+SELECT v.vec_id,
+       round(list_dot_product(v.v, v.v) - 2*list_dot_product(v.v, qv)
+             + list_dot_product(qv, qv), 5) AS d2
+FROM vecs v JOIN short USING (vec_id), q
+ORDER BY d2, v.vec_id LIMIT 10
+""".replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2226,4 +2392,6 @@ QUERIES = {
     "q49_timestamp_pruned_decode": (q49_timestamp_pruned_decode, SQL_Q49),
     "q50_compaction_gc_roundtrip": (q50_compaction_gc_roundtrip, SQL_Q50),
     "q51_video_frame_sample": (q51_video_frame_sample, SQL_Q51),
+    "q52_duplicated_passages": (q52_duplicated_passages, SQL_Q52),
+    "q53_pq_adc_topk": (q53_pq_adc_topk, SQL_Q53),
 }

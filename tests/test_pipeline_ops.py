@@ -900,3 +900,186 @@ class TestPiiRedaction:
         assert (out[3].n_email, out[3].n_ipv4) == (2, 2)
         assert "<EMAIL>" in out[3].redacted and "<IP>" in out[3].redacted
         assert "@" not in out[3].redacted
+
+
+class TestDuplicatedPassages:
+    """Exact substring-level dedup (Lee et al. 2022 semantics): hand-
+    computed span coverage, island merging at the n-gap boundary,
+    scope modes, and the strip materialization."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_run_spans_exact(self, spark):
+        # d1/d2 share exactly the 6-token run "c d e f g h"
+        df = self._df(spark, [
+            (1, "a1 b1 c d e f g h i1 j1"),
+            (2, "x1 y1 z1 c d e f g h w1"),
+        ])
+        spans = {
+            (r.id): (r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicated_passage_spans(df, n=3).collect()
+        }
+        assert spans[1] == (2, 7, 6)
+        assert spans[2] == (3, 8, 6)
+        stats = {
+            r.id: (r.n_spans, r.dup_tokens, r.n_tokens)
+            for r in dedup.duplicated_passage_stats(df, n=3).collect()
+        }
+        assert stats[1] == (1, 6, 10) and stats[2] == (1, 6, 10)
+
+    def test_min_tokens_filters_after_merge(self, spark):
+        df = self._df(spark, [
+            (1, "a1 b1 c d e f g h i1 j1"),
+            (2, "x1 y1 z1 c d e f g h w1"),
+        ])
+        stats = {
+            r.id: (r.n_spans, r.dup_tokens)
+            for r in dedup.duplicated_passage_stats(df, n=3, min_tokens=7).collect()
+        }
+        assert stats[1] == (0, 0) and stats[2] == (0, 0)
+
+    def test_islands_split_beyond_n_gap(self, spark):
+        # two shared 4-token runs separated by 4 unique tokens: the
+        # middle is NOT covered, so two disjoint spans per doc
+        df = self._df(spark, [
+            (1, "c d e f q1 q2 q3 q4 m n o p"),
+            (2, "c d e f r1 r2 r3 r4 m n o p"),
+        ])
+        spans = sorted(
+            (r.id, r.span_start, r.span_end)
+            for r in dedup.duplicated_passage_spans(df, n=3).collect()
+        )
+        assert spans == [(1, 0, 3), (1, 8, 11), (2, 0, 3), (2, 8, 11)]
+
+    def test_islands_merge_at_n_gap(self, spark):
+        # duplicated shingles at positions 0 and 3 (gap == n): their
+        # token coverage [0,2] and [3,5] is adjacent -> one span
+        df = self._df(spark, [
+            (1, "c d e f g h"),
+            (2, "c d e z f g h"),
+        ])
+        spans = [
+            (r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicated_passage_spans(df, n=3).collect()
+            if r.id == 1
+        ]
+        assert spans == [(0, 5, 6)]
+
+    def test_scope_corpus_catches_self_repeats(self, spark):
+        df = self._df(spark, [(1, "c d e f q1 q2 c d e f")])
+        cross = dedup.duplicated_passage_stats(df, n=3).collect()
+        assert (cross[0].n_spans, cross[0].dup_tokens) == (0, 0)
+        corpus = dedup.duplicated_passage_stats(df, n=3, scope="corpus").collect()
+        assert (corpus[0].n_spans, corpus[0].dup_tokens) == (2, 8)
+
+    def test_scope_validation(self, spark):
+        df = self._df(spark, [(1, "a b c")])
+        with pytest.raises(ValueError, match="scope"):
+            dedup.duplicated_passage_spans(df, scope="bogus")
+
+    def test_strip_removes_covered_tokens_only(self, spark):
+        df = self._df(spark, [
+            (1, "a1 b1 c d e f g h i1 j1"),
+            (2, "x1 y1 z1 c d e f g h w1"),
+            (3, "untouched  Solo   document"),
+        ])
+        out = {r.doc_id: r.text for r in
+               dedup.strip_duplicated_passages(df, n=3).collect()}
+        assert out[1] == "a1 b1 i1 j1"
+        assert out[2] == "x1 y1 z1 w1"
+        # pass-through docs come back normalized (lowered, collapsed)
+        assert out[3] == "untouched solo document"
+
+    def test_positioned_shingles_match_word_shingles(self, spark):
+        df = self._df(spark, [(1, "the quick  Brown fox")])
+        pos = dedup.positioned_shingles(df, "text", "doc_id", n=2).collect()
+        assert {(r.pos, r.shingle) for r in pos} == {
+            (0, "the quick"), (1, "quick brown"), (2, "brown fox"),
+        }
+        flat = {r.shingle for r in
+                dedup.word_shingles(df, "text", "doc_id", n=2).collect()}
+        assert {r.shingle for r in pos} == flat
+
+
+class TestProductQuantization:
+    """PQ embedding codec: fit determinism, code shape, reconstruction
+    distortion vs the no-op bound, ADC search recall on clustered
+    vectors, UDF==expression path parity."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from mojap_arrow_pd_parser_spark import datagen
+        return datagen.clustered_embeddings(
+            spark, 400, dim=32, k=8, seed=11, noise=0.05
+        ).cache()
+
+    @pytest.fixture(scope="class")
+    def books(self, emb):
+        return similarity.pq_fit(emb, m=4, k=16, sample_rows=400)
+
+    def test_fit_shape_and_determinism(self, emb, books):
+        assert books.shape == (4, 16, 8)
+        again = similarity.pq_fit(emb, m=4, k=16, sample_rows=400)
+        assert np.array_equal(books, again)
+
+    def test_fit_rejects_bad_m(self, emb):
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_fit(emb, m=5, k=16, sample_rows=400)
+
+    def test_encode_codes_shape_and_range(self, emb, books):
+        codes = similarity.pq_encode(emb, books).collect()
+        assert len(codes) == 400
+        for r in codes:
+            assert len(r.codes) == 4
+            assert all(0 <= c < 16 for c in r.codes)
+
+    def test_reconstruct_beats_zero_vector(self, emb, books):
+        # quantization distortion must be far below the signal energy
+        codes = similarity.pq_encode(emb, books)
+        rec = {r.vec_id: np.array(r.vec) for r in
+               similarity.pq_reconstruct(codes, books).collect()}
+        orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in emb.collect()}
+        err = np.mean([((rec[i] - orig[i]) ** 2).sum() for i in orig])
+        sig = np.mean([(orig[i] ** 2).sum() for i in orig])
+        assert err < 0.25 * sig
+
+    def test_adc_shortlist_and_rerank_recover_exact_topk(self, spark, emb, books):
+        # ADC approximates L2; codes can't rank vectors closer together
+        # than the codeword spacing, so the contract is: the exact
+        # top-10 lands inside a 5x ADC shortlist, and the exact re-rank
+        # over that shortlist returns the true top-10 exactly.
+        rows = emb.collect()
+        q = np.array(next(r.embedding for r in rows if r.vec_id == 0))
+        rest = [(r.vec_id, np.array(r.embedding)) for r in rows if r.vec_id != 0]
+        d2 = sorted(rest, key=lambda t: (((t[1] - q) ** 2).sum(), t[0]))
+        exact = [vid for vid, _ in d2[:10]]
+        others = emb.filter(F.col("vec_id") != 0)
+        codes = similarity.pq_encode(others, books)
+        short = {r.vec_id for r in
+                 similarity.pq_search(codes, books, list(q), topk=50).collect()}
+        assert len(set(exact) & short) >= 9  # shortlist recall
+        reranked = [r.vec_id for r in similarity.pq_shortlist_rerank(
+            others, codes, books, list(q), k=10, shortlist=50).collect()]
+        assert set(reranked) == set(exact)
+
+    def test_adc_topk_stays_in_query_cluster(self, emb, books):
+        # coarse correctness: even unreranked ADC never leaves the
+        # query's mixture component (cross-cluster distances dwarf
+        # quantization error)
+        rows = emb.collect()
+        qrow = next(r for r in rows if r.vec_id == 0)
+        cluster_of = {r.vec_id: r.cluster for r in rows}
+        codes = similarity.pq_encode(emb.filter(F.col("vec_id") != 0), books)
+        top = similarity.pq_search(codes, books, list(qrow.embedding), topk=10)
+        assert all(cluster_of[r.vec_id] == qrow.cluster for r in top.collect())
+
+    def test_udf_and_expr_paths_agree(self, emb, books):
+        q = [0.1] * 32
+        codes = similarity.pq_encode(emb, books).cache()
+        udf = {(r.vec_id, r.ad2) for r in
+               similarity.pq_search(codes, books, q, topk=10).collect()}
+        expr = {(r.vec_id, r.ad2) for r in
+                similarity.pq_search(codes, books, q, topk=10, use_udf=False).collect()}
+        assert udf == expr
