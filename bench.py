@@ -688,6 +688,36 @@ def main() -> None:
         lsh.filter(F.col("bucket").isin(bprobes)).count() / n_emb, 3
     )
 
+    # --- PQ measured basis (round-6): the embedding-compression side
+    # of the ANN story. Codes are m=8 codes/vector (k=64 codewords per
+    # subspace -> 6 bits of information each) vs 64 float32s: the ADC
+    # candidate scan reads ~2% of the vector bytes. Build = sampled fit
+    # + full encode + parquet write (amortized, like the IVF index);
+    # query = ADC shortlist (100) + exact re-rank, recall vs the exact
+    # truth above. -----------------------------------------------------
+    t0 = time.monotonic()
+    books = _sim.pq_fit(emb, m=8, k=64, sample_rows=4096, iters=10)
+    pq_dir = f"/tmp/bench_pq_{CPUS}"
+    _sim.pq_encode(emb, books).write.mode("overwrite").parquet(pq_dir)
+    llm_ops["ann_pq_build_sec"] = round(time.monotonic() - t0, 3)
+    pq_codes = spark.read.parquet(pq_dir)
+    # PQ quantizes L2, so its truth is the exact L2 top-k (the cosine
+    # truth above would charge metric mismatch to the codec)
+    truth_l2 = [r[0] for r in _sim.l2_topk(emb, qv, k=10).collect()]
+    w, got = timed_topk(
+        lambda: _sim.pq_shortlist_rerank(
+            emb, pq_codes, books, qv, k=10, shortlist=100
+        )
+    )
+    llm_ops["ann_pq_sec"] = w
+    llm_ops["ann_pq_recall_at10"] = round(
+        len(set(got) & set(truth_l2)) / 10, 3
+    )
+    # bytes the ADC scan touches per row vs the raw vector column
+    llm_ops["ann_pq_code_bytes_frac"] = round(
+        books.shape[0] / (len(qv) * 4), 4
+    )
+
     # --- skewed-source encode stress (round-5): the tokens table's
     # `source` column is 70% common_crawl by construction (datagen
     # _SOURCE_P); encode through the partition-salted chunking path
@@ -827,6 +857,7 @@ def headline_of(result: dict) -> dict:
                 "salting_speedup",
                 "ann_ivf_recall_at10", "ann_ivf_scan_frac",
                 "ann_rplsh_recall_at10", "ann_rplsh_scan_frac",
+                "ann_pq_recall_at10", "ann_pq_code_bytes_frac",
             )
             if k in llm
         },

@@ -56,6 +56,33 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k by squared Euclidean distance — the metric twin of
+    :func:`cosine_topk` and the ground truth for the PQ/ADC paths
+    (which quantize L2, not cosine). Same scale shape: one narrow
+    scan, JVM ``zip_with`` arithmetic, per-partition partial top-k."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), q, lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col), F.round(d2, round_digits).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_neardups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1083,3 +1083,15 @@ class TestProductQuantization:
         expr = {(r.vec_id, r.ad2) for r in
                 similarity.pq_search(codes, books, q, topk=10, use_udf=False).collect()}
         assert udf == expr
+
+    def test_l2_topk_matches_numpy_exact(self, emb):
+        rows = emb.collect()
+        q = np.array(next(r.embedding for r in rows if r.vec_id == 0),
+                     dtype=np.float64)
+        exact = sorted(
+            ((round(((np.array(r.embedding, dtype=np.float64) - q) ** 2)
+                    .sum(), 5), r.vec_id) for r in rows)
+        )[:10]
+        got = [(r.d2, r.vec_id) for r in
+               similarity.l2_topk(emb, list(q), k=10).collect()]
+        assert got == exact
