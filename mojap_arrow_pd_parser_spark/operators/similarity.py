@@ -464,6 +464,15 @@ def pq_fit(
         df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     )
     mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return _lloyd_codebooks(mat, m, k, iters, seed)
+
+
+def _lloyd_codebooks(
+    mat: np.ndarray, m: int, k: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd on a driver-side sample matrix —
+    shared by :func:`pq_fit` (raw vectors) and :func:`ivfpq_fit`
+    (coarse-quantizer residuals)."""
     if mat.shape[0] < k:
         raise ValueError(f"sample has {mat.shape[0]} rows < k={k} codewords")
     subs = _pq_split(mat, m)  # (n, m, sd)
@@ -617,6 +626,166 @@ def pq_shortlist_rerank(
     cand = pq_search(
         codes_df, codebooks, query_vec,
         topk=shortlist, id_col=id_col, round_digits=round_digits,
+    ).select(id_col)
+    qarr = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    diff2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qarr, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(diff2, round_digits).alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production FAISS index shape — a coarse quantizer
+# (ivf_fit_centroids) routes each vector to a list, and PQ encodes the
+# RESIDUAL v - centroid[list]. Residuals are centered near zero with
+# far less variance than raw vectors, so the same (m, k) budget
+# quantizes them with materially less distortion; search probes the
+# nprobe nearest lists and runs ADC with a PER-LIST lookup table built
+# from the residual query q - centroid[list].
+#
+# Scale shape: the codes table is (id, list_id, m smallint) — written
+# partitioned by list_id, the probe filter becomes parquet PARTITION
+# PRUNING, so a query touches nprobe/k of the corpus at ~m bytes/row.
+# Both the coarse centroids and the codebooks ride task closures; the
+# plan is flat in k, nlist, and corpus size.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 20_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train (m, k, d/m) codebooks on coarse-quantizer RESIDUALS of a
+    deterministic sample (same sampling + Lloyd as :func:`pq_fit`, so
+    the artifact-persistence story is identical)."""
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    )
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    d = cent @ mat.T  # not distances; do the proper argmin below
+    cc = (cent * cent).sum(axis=1)  # (nlist,)
+    assign = np.argmin(cc[:, None] - 2.0 * d, axis=0)  # (n,)
+    residuals = mat - cent[assign]
+    return _lloyd_codebooks(residuals, m, k, iters, seed)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize: (id, list_id, codes) in ONE vectorized pass — nearest
+    coarse centroid (argmin, ties to lowest list), then per-subspace
+    nearest residual codeword. Write the result partitioned by
+    ``list_id`` so probe filters prune at the file level."""
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    cb = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, k, sd = cb.shape
+    cc = (cent * cent).sum(axis=1)  # (nlist,)
+    wcc = (cb * cb).sum(axis=2)  # (m, k)
+
+    @F.pandas_udf("struct<list_id:int,codes:array<smallint>>")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (b, dim)
+        assign = np.argmin(cc - 2.0 * (mat @ cent.T), axis=1)  # (b,)
+        res = _pq_split(mat - cent[assign], m)  # (b, m, sd)
+        out = np.empty((mat.shape[0], m), dtype=np.int16)
+        for s in range(m):
+            out[:, s] = np.argmin(wcc[s] - 2.0 * (res[:, s, :] @ cb[s].T), axis=1)
+        return pd.DataFrame(
+            {"list_id": assign.astype(np.int32), "codes": list(out)}
+        )
+
+    packed = df.select(F.col(id_col), enc(F.col(vec_col)).alias("_e"))
+    return packed.select(
+        id_col, F.col("_e.list_id").alias("list_id"), F.col("_e.codes").alias("codes")
+    )
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    topk: int = 10,
+    nprobe: int = 2,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """ADC top-k over the ``nprobe`` nearest lists with per-list LUTs:
+    ad2(row) = sum_s LUT[list_id][s, codes[s]] where LUT[l] is built
+    from the residual query q - centroid[l]. The list filter is an
+    `isin` over the probed ids (partition pruning on a list-partitioned
+    codes table); the (nprobe, m, k) LUT stack rides the task closure."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cent - q) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.lexsort((np.arange(len(d2)), d2))[:nprobe]]
+    luts = {l: pq_adc_lut(codebooks, q - cent[l]) for l in probes}
+    m = np.asarray(codebooks).shape[0]
+
+    @F.pandas_udf("double")
+    def ad2(lid: pd.Series, c: pd.Series) -> pd.Series:
+        idx = np.vstack(c.to_numpy()).astype(np.int64)  # (b, m)
+        lids = lid.to_numpy()
+        out = np.empty(len(lids), dtype=np.float64)
+        for l in np.unique(lids):
+            mask = lids == l
+            out[mask] = luts[int(l)][
+                np.arange(m)[None, :], idx[mask]
+            ].sum(axis=1)
+        return pd.Series(out)
+
+    return (
+        codes_df.filter(F.col("list_id").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(ad2(F.col("list_id"), F.col(codes_col)), round_digits).alias("ad2"),
+        )
+        .orderBy(F.col("ad2").asc(), F.col(id_col))
+        .limit(topk)
+    )
+
+
+def ivfpq_shortlist_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """IVF-PQ + refine: per-list ADC shortlist over the probed lists,
+    exact L2 re-rank of ``shortlist`` full-width vectors via a
+    broadcast semi-join (the :func:`pq_shortlist_rerank` recipe with
+    partition-pruned candidate generation)."""
+    cand = ivfpq_search(
+        codes_df, centroids, codebooks, query_vec,
+        topk=shortlist, nprobe=nprobe, id_col=id_col,
+        round_digits=round_digits,
     ).select(id_col)
     qarr = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
     diff2 = F.aggregate(

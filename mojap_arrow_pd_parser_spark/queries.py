@@ -2340,6 +2340,127 @@ ORDER BY d2, v.vec_id LIMIT 10
 """.replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
 
 
+
+def q54_ivfpq_adc_topk(spark, sf):
+    """IVF-PQ ANN: coarse k-means (nlist=4) routes vectors to lists,
+    PQ (m=8, k=16) quantizes the RESIDUALS, search probes the 2
+    nearest lists with per-list ADC LUTs and exact-reranks a 50-deep
+    shortlist. Both artifacts (coarse centroids + residual codebooks)
+    persist as parquet; the oracle re-derives the list assignment,
+    every residual code, the per-list LUTs, and the ADC sums from the
+    artifacts alone — distributing every dot product (residuals never
+    materialize in SQL: r.w = v.w - c.w)."""
+    import pandas as pd
+    import numpy as np
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_fit_centroids(emb, k=4, seed=7)
+    books = similarity.ivfpq_fit(emb, cents, m=8, k=16)
+    cdf = spark.createDataFrame(pd.DataFrame(
+        {"list": range(len(cents)), "centroid": [c.tolist() for c in cents]}
+    ))
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{ARTIFACT_DIR}/q54_coarse")
+    bdf = spark.createDataFrame(pd.DataFrame(
+        [{"sub": s, "cid": c, "codeword": books[s, c].tolist()}
+         for s in range(books.shape[0]) for c in range(books.shape[1])]
+    ))
+    bdf.coalesce(1).write.mode("overwrite").parquet(f"{ARTIFACT_DIR}/q54_books")
+    cents = np.array(
+        [r.centroid for r in spark.read.parquet(f"{ARTIFACT_DIR}/q54_coarse")
+         .orderBy("list").collect()], dtype="float64")
+    persisted = (
+        spark.read.parquet(f"{ARTIFACT_DIR}/q54_books").orderBy("sub", "cid").collect()
+    )
+    books = np.array([r.codeword for r in persisted], dtype="float64").reshape(
+        books.shape
+    )
+    codes = similarity.ivfpq_encode(emb, cents, books)
+    return similarity.ivfpq_shortlist_rerank(
+        emb, codes, cents, books, _query_vec(spark, sf),
+        k=10, nprobe=2, shortlist=50,
+    )
+
+
+SQL_Q54 = """
+WITH coarse AS (
+  SELECT list, CAST(centroid AS DOUBLE[]) AS c
+  FROM read_parquet('{ARTIFACT_DIR}/q54_coarse/*.parquet')
+),
+cb AS (
+  SELECT sub, cid, CAST(codeword AS DOUBLE[]) AS w
+  FROM read_parquet('{ARTIFACT_DIR}/q54_books/*.parquet')
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+-- coarse assignment: argmin_l ||v - c_l||^2, ties to lowest list
+asg AS (
+  SELECT vec_id, list, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(c, c) - 2*list_dot_product(v, c), list
+         ) AS rn
+  FROM vecs, coarse
+),
+vlist AS (SELECT vec_id, list, c FROM asg WHERE rn = 1),
+subs AS (SELECT DISTINCT sub FROM cb),
+-- residual codes: argmin_w ||r_s - w||^2 with r_s.w = v_s.w - c_s.w
+-- (v_s.v_s terms are per-(vec,sub) constants, dropped from the argmin)
+vsub AS (
+  SELECT v.vec_id, vl.list, s.sub,
+         v.v[s.sub*8+1 : s.sub*8+8] AS vs,
+         vl.c[s.sub*8+1 : s.sub*8+8] AS cs
+  FROM vecs v JOIN vlist vl USING (vec_id), subs s
+),
+casg AS (
+  SELECT vec_id, list, vsub.sub, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, vsub.sub
+           ORDER BY list_dot_product(w, w)
+                    - 2*(list_dot_product(vs, w) - list_dot_product(cs, w)),
+                    cid
+         ) AS rn
+  FROM vsub JOIN cb ON cb.sub = vsub.sub
+),
+codes AS (SELECT vec_id, list, sub, cid FROM casg WHERE rn = 1),
+-- probe the 2 lists nearest the query
+probes AS (
+  SELECT list, c FROM coarse, q
+  ORDER BY list_dot_product(c, c) - 2*list_dot_product(qv, c), list
+  LIMIT 2
+),
+-- per-list ADC LUT: ||qr_s - w||^2 with qr = q - c_list, distributed
+lut AS (
+  SELECT p.list, cb.sub, cb.cid,
+         list_dot_product(qs, qs) - 2*list_dot_product(qs, csl)
+           + list_dot_product(csl, csl)
+           - 2*(list_dot_product(qs, w) - list_dot_product(csl, w))
+           + list_dot_product(w, w) AS ld
+  FROM (
+    SELECT p.list, s.sub,
+           qv[s.sub*8+1 : s.sub*8+8] AS qs,
+           p.c[s.sub*8+1 : s.sub*8+8] AS csl
+    FROM probes p, subs s, q
+  ) p JOIN cb ON cb.sub = p.sub
+),
+adc AS (
+  SELECT codes.vec_id, round(SUM(ld), 5) AS ad2
+  FROM codes
+  JOIN lut ON lut.list = codes.list AND lut.sub = codes.sub
+          AND lut.cid = codes.cid
+  GROUP BY codes.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT 50)
+SELECT v.vec_id,
+       round(list_dot_product(v.v, v.v) - 2*list_dot_product(v.v, qv)
+             + list_dot_product(qv, qv), 5) AS d2
+FROM vecs v JOIN short USING (vec_id), q
+ORDER BY d2, v.vec_id LIMIT 10
+""".replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2394,4 +2515,5 @@ QUERIES = {
     "q51_video_frame_sample": (q51_video_frame_sample, SQL_Q51),
     "q52_duplicated_passages": (q52_duplicated_passages, SQL_Q52),
     "q53_pq_adc_topk": (q53_pq_adc_topk, SQL_Q53),
+    "q54_ivfpq_adc_topk": (q54_ivfpq_adc_topk, SQL_Q54),
 }

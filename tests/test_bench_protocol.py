@@ -241,7 +241,15 @@ def _full_result_like_r5():
         "decode_tokens_per_sec": 43_137_128,
         "compression_ratio_vs_parquet_snappy": 0.7088,
         "roundtrip_mismatches": 0,
-        "llm_ops": {f"op_{i}_some_measured_row_sec": 1.0 for i in range(20)},
+        "llm_ops": {
+            **{f"op_{i}_some_measured_row_sec": 1.0 for i in range(20)},
+            # every key the headline whitelist can pick must be present
+            # so the size test reflects the real worst-case line
+            "salting_speedup": 4.05,
+            "ann_ivf_recall_at10": 1.0, "ann_ivf_scan_frac": 0.128,
+            "ann_rplsh_recall_at10": 1.0, "ann_rplsh_scan_frac": 0.06,
+            "ann_pq_recall_at10": 1.0, "ann_pq_code_bytes_frac": 0.0312,
+        },
         "scaling": {
             "cores_lo": 1, "cores_hi": 4,
             "walls_lo": [77.5, 65.4, 74.8, 103.1, 64.0],

@@ -1095,3 +1095,99 @@ class TestProductQuantization:
         got = [(r.d2, r.vec_id) for r in
                similarity.l2_topk(emb, list(q), k=10).collect()]
         assert got == exact
+
+
+class TestIvfPq:
+    """IVF-PQ residual quantization: fit determinism, encode parity
+    with a from-scratch numpy model, the residual-distortion win over
+    plain PQ, per-list ADC correctness, and end-to-end recall."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from mojap_arrow_pd_parser_spark import datagen
+        return datagen.clustered_embeddings(
+            spark, 400, dim=32, k=8, seed=11, noise=0.05
+        ).cache()
+
+    @pytest.fixture(scope="class")
+    def cents(self, emb):
+        return similarity.ivf_fit_centroids(
+            emb.drop("cluster"), k=8, seed=7
+        )
+
+    @pytest.fixture(scope="class")
+    def books(self, emb, cents):
+        return similarity.ivfpq_fit(emb, cents, m=4, k=16, sample_rows=400)
+
+    def test_fit_deterministic(self, emb, cents, books):
+        assert books.shape == (4, 16, 8)
+        again = similarity.ivfpq_fit(emb, cents, m=4, k=16, sample_rows=400)
+        assert np.array_equal(books, again)
+
+    def test_encode_matches_numpy_model(self, emb, cents, books):
+        got = {r.vec_id: (r.list_id, list(r.codes)) for r in
+               similarity.ivfpq_encode(emb, cents, books).collect()}
+        rows = emb.collect()
+        cc = (cents * cents).sum(axis=1)
+        for r in rows:
+            v = np.array(r.embedding, dtype=np.float64)
+            lid = int(np.argmin(cc - 2.0 * (cents @ v)))
+            res = (v - cents[lid]).reshape(4, 8)
+            codes = [int(np.argmin(((books[s] - res[s]) ** 2).sum(axis=1)))
+                     for s in range(4)]
+            assert got[r.vec_id] == (lid, codes), r.vec_id
+
+    def test_residual_distortion_beats_plain_pq(self, emb, cents, books):
+        # same (m, k) budget: quantizing residuals must reconstruct
+        # strictly better than quantizing raw vectors
+        plain_books = similarity.pq_fit(emb, m=4, k=16, sample_rows=400)
+        rows = emb.collect()
+        plain_err = res_err = 0.0
+        cc = (cents * cents).sum(axis=1)
+        for r in rows:
+            v = np.array(r.embedding, dtype=np.float64)
+            sub = v.reshape(4, 8)
+            rec_p = np.vstack([
+                plain_books[s][np.argmin(((plain_books[s] - sub[s]) ** 2).sum(axis=1))]
+                for s in range(4)
+            ]).ravel()
+            plain_err += ((rec_p - v) ** 2).sum()
+            lid = int(np.argmin(cc - 2.0 * (cents @ v)))
+            res = (v - cents[lid]).reshape(4, 8)
+            rec_r = cents[lid] + np.vstack([
+                books[s][np.argmin(((books[s] - res[s]) ** 2).sum(axis=1))]
+                for s in range(4)
+            ]).ravel()
+            res_err += ((rec_r - v) ** 2).sum()
+        assert res_err < 0.8 * plain_err
+
+    def test_per_list_adc_matches_numpy(self, emb, cents, books):
+        rows = emb.collect()
+        q = np.array(next(r.embedding for r in rows if r.vec_id == 0),
+                     dtype=np.float64)
+        codes = similarity.ivfpq_encode(
+            emb.filter(F.col("vec_id") != 0), cents, books
+        ).cache()
+        got = {r.vec_id: r.ad2 for r in similarity.ivfpq_search(
+            codes, cents, books, list(q), topk=400, nprobe=8).collect()}
+        # nprobe=8 == all lists -> every row present, ad2 == numpy ADC
+        assert len(got) == 399
+        code_rows = {r.vec_id: (r.list_id, list(r.codes))
+                     for r in codes.collect()}
+        for vid, (lid, cs) in code_rows.items():
+            qr = (q - cents[lid]).reshape(4, 8)
+            want = round(sum(
+                ((books[s, cs[s]] - qr[s]) ** 2).sum() for s in range(4)
+            ), 5)
+            assert abs(got[vid] - want) < 1e-9, vid
+
+    def test_rerank_recovers_exact_topk(self, emb, cents, books):
+        rows = emb.collect()
+        q = list(next(r.embedding for r in rows if r.vec_id == 0))
+        others = emb.filter(F.col("vec_id") != 0)
+        truth = [r.vec_id for r in similarity.l2_topk(others, q, k=10).collect()]
+        codes = similarity.ivfpq_encode(others, cents, books)
+        got = [r.vec_id for r in similarity.ivfpq_shortlist_rerank(
+            others, codes, cents, books, q, k=10, nprobe=2, shortlist=50
+        ).collect()]
+        assert set(got) == set(truth)
