@@ -1191,3 +1191,16 @@ class TestIvfPq:
             others, codes, cents, books, q, k=10, nprobe=2, shortlist=50
         ).collect()]
         assert set(got) == set(truth)
+
+    def test_codes_roundtrip_through_chunk_engine(self, spark, emb, cents, books):
+        # the storage claim: PQ codes are an ordinary engine column —
+        # (id, list_id, codes array<smallint>) encodes through the chunk
+        # codec and comes back bit-identical
+        import shutil
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        codes = similarity.ivfpq_encode(emb, cents, books)
+        out = "/tmp/test_pq_codes_enc"
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(spark, codes, out, key="vec_id", n_chunks=4)
+        assert verify_roundtrip(spark, codes, out)["mismatches"] == 0
