@@ -689,14 +689,18 @@ def main() -> None:
     )
 
     # --- PQ measured basis (round-6): the embedding-compression side
-    # of the ANN story. Codes are m=8 codes/vector (k=64 codewords per
-    # subspace -> 6 bits of information each) vs 64 float32s: the ADC
-    # candidate scan reads ~2% of the vector bytes. Build = sampled fit
-    # + full encode + parquet write (amortized, like the IVF index);
-    # query = ADC shortlist (100) + exact re-rank, recall vs the exact
-    # truth above. -----------------------------------------------------
+    # of the ANN story. m=16 subspaces x k=256 codewords = 16 bytes of
+    # codes vs 256 vector bytes: the ADC candidate scan reads 6.25% of
+    # the bytes. Budget chosen by a measured recall grid (BASELINE.md):
+    # within a mixture component the data is isotropic noise, so
+    # under-budgeted codes (m=8, k=64: 48 bits) can't resolve the true
+    # neighbor ordering (recall 0.2-0.3 at 20k rows) while 128 bits
+    # reads recall 1.0 at shortlist 100. Build = sampled fit + full
+    # encode + parquet write (amortized, like the IVF index); query =
+    # ADC shortlist (100) + exact re-rank, recall vs the exact L2
+    # truth. -----------------------------------------------------------
     t0 = time.monotonic()
-    books = _sim.pq_fit(emb, m=8, k=64, sample_rows=4096, iters=10)
+    books = _sim.pq_fit(emb, m=16, k=256, sample_rows=4096, iters=10)
     pq_dir = f"/tmp/bench_pq_{CPUS}"
     _sim.pq_encode(emb, books).write.mode("overwrite").parquet(pq_dir)
     llm_ops["ann_pq_build_sec"] = round(time.monotonic() - t0, 3)
