@@ -799,3 +799,123 @@ def ivfpq_shortlist_rerank(
         .orderBy(F.col("d2").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ): per-dimension affine int8 compression —
+# code[d] = floor((v[d] - min[d]) / scale[d] + 0.5), scale = span/255.
+# 4x smaller than float32 at ~1/510-of-span max error per dimension,
+# and — unlike PQ — every stage (fit, encode, dequantize, search) is a
+# pure JVM Column expression: zero Python anywhere in the row path,
+# whole-stage codegen end to end. The FAISS "SQ8" flat-index codec.
+#
+# Scale shape: fit is ONE posexplode + groupBy(dim) min/max (a 64-row
+# aggregate regardless of corpus size); encode/search are narrow
+# zip_with scans with the (min, scale) arrays inlined as literals —
+# no shuffle, no broadcast, no UDF worker.
+# ---------------------------------------------------------------------------
+
+
+def sq_fit(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (mins, scales) over the corpus: one
+    posexplode(vec) -> groupBy(dim){min,max} aggregate (map-side
+    combined; output rows == dim, so the collect is trivial).
+    Constant dimensions get scale 0 — encode emits code 0 and
+    dequantize returns the constant exactly."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = np.array([r.lo for r in stats], dtype=np.float64)
+    maxs = np.array([r.hi for r in stats], dtype=np.float64)
+    return mins, (maxs - mins) / 255.0
+
+
+def _sq_arrays(mins: np.ndarray, scales: np.ndarray):
+    m = F.array(*[F.lit(float(x)) for x in np.asarray(mins, dtype=np.float64)])
+    s = F.array(*[F.lit(float(x)) for x in np.asarray(scales, dtype=np.float64)])
+    return m, s
+
+
+def sq_encode(
+    df: DataFrame,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize to (id, codes array<smallint>), codes in [0, 255] —
+    pure JVM: two nested zip_with, floor(x + 0.5) rounding (identical
+    on both engines, unlike HALF_UP/HALF_EVEN round()), clamp via
+    least/greatest. smallint storage; the chunk codec bitpacks it to
+    8 bits."""
+    m, s = _sq_arrays(mins, scales)
+    shifted = F.zip_with(
+        F.col(vec_col), m, lambda x, mn: x.cast("double") - mn
+    )
+    codes = F.zip_with(
+        shifted, s,
+        lambda d, sc: F.when(sc == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(255), F.floor(d / sc + 0.5).cast("int")),
+            )
+        ).cast("smallint"),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_dequantize(
+    codes_df: DataFrame,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codec inverse: (id, vec array<double>) with vec[d] = min[d] +
+    codes[d] * scale[d] (exact for constant dims)."""
+    m, s = _sq_arrays(mins, scales)
+    scaled = F.zip_with(
+        F.col(codes_col), s, lambda c, sc: c.cast("double") * sc
+    )
+    deq = F.zip_with(scaled, m, lambda x, mn: x + mn)
+    return codes_df.select(F.col(id_col), deq.alias("vec"))
+
+
+def sq_topk(
+    codes_df: DataFrame,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    query_vec,
+    k: int = 10,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """Approximate L2 top-k straight off the int8 codes: dequantize
+    inline and fold ||deq - q||^2 — one narrow JVM scan over 1/4 of
+    the float bytes, no UDF. Quantization error is bounded by
+    scale/2 per dimension, so unlike PQ the approximate ordering is
+    near-exact; pair with :func:`pq_shortlist_rerank`'s recipe (a
+    broadcast semi-join back to the float vectors) when exactness
+    matters."""
+    m, s = _sq_arrays(mins, scales)
+    q = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    scaled = F.zip_with(F.col(codes_col), s, lambda c, sc: c.cast("double") * sc)
+    deq = F.zip_with(scaled, m, lambda x, mn: x + mn)
+    d2 = F.aggregate(
+        F.zip_with(deq, q, lambda x, y: (x - y) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        codes_df.select(F.col(id_col), F.round(d2, round_digits).alias("ad2"))
+        .orderBy(F.col("ad2").asc(), F.col(id_col))
+        .limit(k)
+    )

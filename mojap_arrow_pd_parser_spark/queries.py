@@ -2461,6 +2461,62 @@ ORDER BY d2, v.vec_id LIMIT 10
 """.replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
 
 
+
+def q55_sq_int8_topk(spark, sf):
+    """Scalar-quantization (int8) ANN — the zero-Python quantizer:
+    fit is one posexplode aggregate, encode/search are pure JVM
+    zip_with expressions. The per-dimension (min, scale) artifact
+    persists as parquet; the oracle re-derives every code
+    (floor((v-min)/scale + 0.5) clamped to [0,255], constant dims to
+    0), dequantizes, and recomputes the approximate distances — the
+    whole codec replayed row-by-row in SQL."""
+    import pandas as pd
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    mins, scales = similarity.sq_fit(emb)
+    adf = spark.createDataFrame(pd.DataFrame(
+        {"dim": range(len(mins)), "mn": mins, "scale": scales}
+    ))
+    adf.coalesce(1).write.mode("overwrite").parquet(f"{ARTIFACT_DIR}/q55_sq")
+    art = spark.read.parquet(f"{ARTIFACT_DIR}/q55_sq").orderBy("dim").collect()
+    mins = [r.mn for r in art]
+    scales = [r.scale for r in art]
+    codes = similarity.sq_encode(emb, mins, scales)
+    return similarity.sq_topk(codes, mins, scales, _query_vec(spark, sf), k=10)
+
+
+SQL_Q55 = """
+WITH art AS (
+  SELECT dim, mn, scale FROM read_parquet('{ARTIFACT_DIR}/q55_sq/*.parquet')
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+vd AS (
+  SELECT vec_id, u.i - 1 AS dim, v[u.i] AS val
+  FROM vecs, UNNEST(generate_series(1, len(v))) AS u(i)
+),
+deq AS (
+  SELECT vec_id, vd.dim,
+         mn + (CASE WHEN scale = 0 THEN 0
+                    ELSE greatest(0, least(255,
+                         CAST(floor((val - mn) / scale + 0.5) AS INT)))
+               END) * scale AS x
+  FROM vd JOIN art ON art.dim = vd.dim
+),
+qd AS (
+  SELECT u.i - 1 AS dim, qv[u.i] AS qval
+  FROM q, UNNEST(generate_series(1, len(qv))) AS u(i)
+)
+SELECT vec_id, round(SUM((x - qval) * (x - qval)), 5) AS ad2
+FROM deq JOIN qd ON qd.dim = deq.dim
+GROUP BY vec_id
+ORDER BY ad2, vec_id LIMIT 10
+""".replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2516,4 +2572,5 @@ QUERIES = {
     "q52_duplicated_passages": (q52_duplicated_passages, SQL_Q52),
     "q53_pq_adc_topk": (q53_pq_adc_topk, SQL_Q53),
     "q54_ivfpq_adc_topk": (q54_ivfpq_adc_topk, SQL_Q54),
+    "q55_sq_int8_topk": (q55_sq_int8_topk, SQL_Q55),
 }

@@ -1204,3 +1204,89 @@ class TestIvfPq:
         shutil.rmtree(out, ignore_errors=True)
         encode_table(spark, codes, out, key="vec_id", n_chunks=4)
         assert verify_roundtrip(spark, codes, out)["mismatches"] == 0
+
+
+class TestScalarQuantization:
+    """int8 SQ codec: fit/encode parity with a numpy model, the
+    per-dim error bound, constant-dim exactness, near-exact topk, and
+    the zero-Python-plan claim."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from mojap_arrow_pd_parser_spark import datagen
+        return datagen.clustered_embeddings(
+            spark, 300, dim=16, k=4, seed=13, noise=0.05
+        ).drop("cluster").cache()
+
+    @pytest.fixture(scope="class")
+    def fitted(self, emb):
+        return similarity.sq_fit(emb)
+
+    def test_fit_matches_numpy(self, emb, fitted):
+        mins, scales = fitted
+        mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+        assert np.allclose(mins, mat.min(axis=0), atol=1e-12)
+        assert np.allclose(scales, (mat.max(axis=0) - mat.min(axis=0)) / 255.0,
+                           atol=1e-12)
+
+    def test_encode_matches_numpy_and_range(self, emb, fitted):
+        mins, scales = fitted
+        got = {r.vec_id: list(r.codes) for r in
+               similarity.sq_encode(emb, mins, scales).collect()}
+        for r in emb.collect():
+            v = np.array(r.embedding, dtype=np.float64)
+            want = np.clip(np.floor((v - mins) / scales + 0.5), 0, 255)
+            assert got[r.vec_id] == [int(x) for x in want], r.vec_id
+            assert all(0 <= c <= 255 for c in got[r.vec_id])
+
+    def test_dequantize_error_bound_and_constant_dim(self, spark):
+        # a constant dimension (scale 0) must come back EXACT
+        df = spark.createDataFrame(
+            [(1, [0.0, 7.5, 1.0]), (2, [10.0, 7.5, 2.0]), (3, [5.0, 7.5, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        mins, scales = similarity.sq_fit(df)
+        assert scales[1] == 0.0
+        codes = similarity.sq_encode(df, mins, scales)
+        deq = {r.vec_id: np.array(r.vec) for r in
+               similarity.sq_dequantize(codes, mins, scales).collect()}
+        orig = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+        for vid in orig:
+            err = np.abs(deq[vid] - orig[vid])
+            assert err[1] == 0.0  # constant dim exact
+            assert (err <= scales / 2 + 1e-12).all(), vid
+
+    def test_topk_matches_numpy_model_and_exact(self, emb, fitted):
+        mins, scales = fitted
+        rows = emb.collect()
+        q = np.array(rows[0].embedding, dtype=np.float64)
+        others = emb.filter(F.col("vec_id") != rows[0].vec_id)
+        codes = similarity.sq_encode(others, mins, scales)
+        got = [(r.vec_id, r.ad2) for r in
+               similarity.sq_topk(codes, mins, scales, list(q), k=10).collect()]
+        # numpy replica of the quantized pipeline
+        approx = []
+        for r in rows:
+            if r.vec_id == rows[0].vec_id:
+                continue
+            v = np.array(r.embedding, dtype=np.float64)
+            c = np.clip(np.floor(np.divide(v - mins, scales,
+                        out=np.zeros_like(v), where=scales != 0) + 0.5), 0, 255)
+            c = np.where(scales == 0, 0, c)
+            deq = mins + c * scales
+            approx.append((round(((deq - q) ** 2).sum(), 5), r.vec_id))
+        want = [(vid, d) for d, vid in sorted(approx)[:10]]
+        assert got == want
+        # fine int8 grid => quantized ordering recovers the exact top-k
+        truth = [r.vec_id for r in
+                 similarity.l2_topk(others, list(q), k=10).collect()]
+        assert set(x[0] for x in got) == set(truth)
+
+    def test_plan_has_no_python_eval(self, emb, fitted):
+        mins, scales = fitted
+        codes = similarity.sq_encode(emb, mins, scales)
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        topk = similarity.sq_topk(codes, mins, scales, [0.1] * 16, k=5)
+        plan2 = topk._jdf.queryExecution().executedPlan().toString()
+        for p in (plan, plan2):
+            assert "EvalPython" not in p and "MapInPandas" not in p
