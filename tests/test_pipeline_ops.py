@@ -1290,3 +1290,32 @@ class TestScalarQuantization:
         plan2 = topk._jdf.queryExecution().executedPlan().toString()
         for p in (plan, plan2):
             assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+class TestNewOpPlanShapes:
+    """Plan audits for the round-6 operators: the shapes that matter
+    at 100 TB, asserted on the executed plan."""
+
+    def test_pq_rerank_broadcasts_shortlist(self, spark):
+        from mojap_arrow_pd_parser_spark import datagen
+        emb = datagen.clustered_embeddings(spark, 300, dim=32, k=4, seed=3)
+        books = similarity.pq_fit(emb, m=4, k=16, sample_rows=300)
+        codes = similarity.pq_encode(emb, books)
+        plan = similarity.pq_shortlist_rerank(
+            emb, codes, books, [0.1] * 32, k=5, shortlist=20
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_passage_dedup_has_no_cartesian(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x b c d e y")],
+            "doc_id long, text string",
+        )
+        spans = dedup.duplicated_passage_spans(df, n=3)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the dup dictionary joins back as an equi-join on shingle
+        assert "hashjoin" in plan.lower() or "sortmergejoin" in plan.lower()
