@@ -63,3 +63,56 @@ def hash_sample(
     return df.filter(
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(buckets)) < cut
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic mixture resampling with UPSAMPLING — the
+    data-recipe operator (Pile / LLaMA style: "wikipedia x3.5,
+    common_crawl x0.67"): each row is emitted ``floor(rate)`` times
+    plus one more iff its id-hash bucket falls under the fractional
+    part. Rates > 1 replicate (the ``epoch`` column, 1-based,
+    distinguishes copies so downstream shuffling/packing can interleave
+    them); rates in [0, 1) downsample exactly like ``hash_sample``;
+    sources absent from ``rates`` get ``default_rate``.
+
+    Everything is a pure function of (id, source): re-runs, resumed
+    jobs and different cluster sizes produce the identical multiset —
+    and the hash is the engine-portable 28-bit md5 prefix, so an
+    independent SQL engine reproduces the sample row-for-row.
+
+    100-TB shape: one narrow scan, zero shuffle — the rate map rides
+    the plan as a literal map, replication is sequence+explode (rows
+    expand in place, no join), and the fractional draw reuses the
+    row's own hash, so no RNG state exists anywhere.
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    pairs = []
+    for k, v in rates.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    rate = (
+        F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)),
+            F.lit(float(default_rate)),
+        )
+        if pairs
+        else F.lit(float(default_rate))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    u = F.pmod(h, F.lit(buckets))  # uniform over [0, buckets)
+    whole = F.floor(rate).cast("int")
+    frac_cut = F.round((rate - F.floor(rate)) * buckets).cast("long")
+    copies = whole + F.when(u < frac_cut, 1).otherwise(0)
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(seq))

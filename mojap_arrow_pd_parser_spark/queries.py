@@ -2517,6 +2517,45 @@ ORDER BY ad2, vec_id LIMIT 10
 """.replace("{ARTIFACT_DIR}", ARTIFACT_DIR)
 
 
+
+def q56_mixture_resample(spark, sf):
+    """Deterministic mixture resampling (the data-recipe operator):
+    src0 upsampled 3.5x (every row 3 epochs + ~half a 4th), src1
+    downsampled to 0.4, src2 dropped, everything else passes through
+    once. The oracle replays the identical arithmetic — portable md5
+    bucket, floor + fractional-cut copies, generate_series expansion —
+    so the multisets must agree row-for-row including the epoch ids."""
+    from .operators import sampling
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = sampling.mixture_resample(
+        d, {"src0": 3.5, "src1": 0.4, "src2": 0.0}
+    )
+    return out.orderBy("doc_id", "epoch")
+
+
+SQL_Q56 = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3.5 WHEN 'src1' THEN 0.4
+                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS rate,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+           % 1000000 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS INT)
+         + CASE WHEN u < round((rate - floor(rate)) * 1000000)
+                THEN 1 ELSE 0 END AS copies
+  FROM d
+)
+SELECT doc_id, source, CAST(e.epoch AS INT) AS epoch
+FROM c, UNNEST(generate_series(1, copies)) AS e(epoch)
+ORDER BY doc_id, epoch
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2573,4 +2612,5 @@ QUERIES = {
     "q53_pq_adc_topk": (q53_pq_adc_topk, SQL_Q53),
     "q54_ivfpq_adc_topk": (q54_ivfpq_adc_topk, SQL_Q54),
     "q55_sq_int8_topk": (q55_sq_int8_topk, SQL_Q55),
+    "q56_mixture_resample": (q56_mixture_resample, SQL_Q56),
 }

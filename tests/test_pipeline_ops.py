@@ -1319,3 +1319,76 @@ class TestNewOpPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         # the dup dictionary joins back as an equi-join on shingle
         assert "hashjoin" in plan.lower() or "sortmergejoin" in plan.lower()
+
+
+class TestMixtureResample:
+    """Data-recipe resampling: exact integer rates, fractional rates
+    land near the target, epoch numbering, drop/pass-through/default
+    semantics, determinism, validation."""
+
+    def _df(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, ["a", "b", "c", "d"][i % 4]) for i in range(n)],
+            "doc_id long, source string",
+        )
+
+    def test_integer_rates_exact(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        out = mixture_resample(
+            self._df(spark), {"a": 2.0, "b": 0.0, "c": 3.0}
+        ).groupBy("source").count().collect()
+        got = {r.source: r["count"] for r in out}
+        # 50 rows/source: a x2, b dropped, c x3, d default x1
+        assert got == {"a": 100, "c": 150, "d": 50}
+
+    def test_epochs_number_every_copy(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        rows = mixture_resample(
+            self._df(spark, 8), {"a": 3.0}
+        ).filter("source = 'a'").collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.doc_id, []).append(r.epoch)
+        assert all(sorted(v) == [1, 2, 3] for v in by_id.values())
+
+    def test_fractional_rate_near_target_and_nested(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        df = self._df(spark, 2000)
+        out = mixture_resample(df, {"a": 2.5}).filter("source = 'a'")
+        n = out.count()
+        assert abs(n - 500 * 2.5) < 500 * 0.2  # binomial tolerance
+        # rows with a 3rd epoch are exactly the fractional winners;
+        # every id still has epochs 1 and 2
+        per_id = out.groupBy("doc_id").count().collect()
+        assert all(r["count"] in (2, 3) for r in per_id)
+
+    def test_deterministic_and_portable_hash(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        import hashlib
+        df = self._df(spark, 100)
+        a = sorted((r.doc_id, r.epoch) for r in
+                   mixture_resample(df, {"a": 1.5, "b": 0.5}).collect())
+        b = sorted((r.doc_id, r.epoch) for r in
+                   mixture_resample(df, {"a": 1.5, "b": 0.5}).collect())
+        assert a == b
+        # the fractional draw is the documented md5-prefix bucket
+        got3 = {t[0] for t in a if t[1] == 2 and t[0] % 4 == 0}
+        want3 = {
+            i for i in range(0, 100, 4)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16)
+               % 1_000_000 < 500_000
+        }
+        assert got3 == want3
+
+    def test_negative_rate_raises(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        with pytest.raises(ValueError, match=">= 0"):
+            mixture_resample(self._df(spark), {"a": -1.0})
+
+    def test_plan_is_narrow(self, spark):
+        from mojap_arrow_pd_parser_spark.operators.sampling import mixture_resample
+        plan = mixture_resample(
+            self._df(spark), {"a": 2.5}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero shuffle
+        assert "EvalPython" not in plan
