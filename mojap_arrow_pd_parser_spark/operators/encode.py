@@ -481,6 +481,13 @@ def done_chunk_ids(done: dict[int, dict]) -> set[int]:
     return ids
 
 
+#: chunk-id stride between encode GENERATIONS (appends / stream
+#: epochs): generation g owns ids [g*STRIDE, (g+1)*STRIDE). Large so
+#: that compaction's max(done)+1 allocation stays inside its own
+#: generation's namespace for any realistic compaction history.
+GENERATION_STRIDE = 1_000_000
+
+
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -491,6 +498,7 @@ def encode_table(
     seed: int = 42,
     consolidate: bool = True,
     partition_col: str | None = None,
+    chunk_base: int = 0,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
@@ -501,6 +509,14 @@ def encode_table(
     ``partition_col`` switches to partition-salted chunking: hot
     partition values (e.g. a 70%% ``source``) are split across salts
     proportional to their size (N10) instead of range buckets on the key.
+
+    ``chunk_base`` namespaces this run's chunk ids (bucket b ->
+    chunk_base + b) and scopes the resume filter to
+    [chunk_base, chunk_base + n_buckets): two runs with different
+    bases APPEND to the same table instead of mistaking each other's
+    buckets for done work, while a rerun with the SAME base keeps the
+    crash-resume semantics. Use :func:`encode_append` (batch) or let
+    the streaming sink derive it from the epoch id.
     """
     fsio.makedirs(fsio.join(out_dir, "chunks"))
     fsio.makedirs(fsio.join(out_dir, "manifest"))
@@ -511,11 +527,29 @@ def encode_table(
         plan["schema_json"] = df.schema.json()
         fsio.write_json_atomic(fsio.join(out_dir, "plan.json"), plan)
 
+    if chunk_base < 0:
+        raise ValueError(f"chunk_base must be >= 0, got {chunk_base}")
+    n_buckets = int(plan["n_chunks"])
+    if chunk_base and n_buckets > GENERATION_STRIDE:
+        raise ValueError(
+            f"plan has {n_buckets} buckets > GENERATION_STRIDE; "
+            "generations would collide"
+        )
     bdf = assign_buckets(df, plan)
+    if chunk_base:
+        bdf = bdf.withColumn(
+            "_bucket", (F.col("_bucket") + F.lit(int(chunk_base))).cast("int")
+        )
     if resume:
         # resume needs only ids + lineage: project the scan so a 400k-
         # chunk table ships no col_stats/codecs JSON through the driver
-        done = sorted(done_chunk_ids(scan_done_chunks(out_dir, spark, columns=())))
+        # — and scope it to THIS generation's id range, so appended
+        # generations never mistake each other's buckets for done work
+        done = sorted(
+            cid
+            for cid in done_chunk_ids(scan_done_chunks(out_dir, spark, columns=()))
+            if chunk_base <= cid < chunk_base + n_buckets
+        )
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
@@ -556,6 +590,58 @@ def encode_table(
         .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
     )
     return _finish_encode(spark, mdf, out_dir, consolidate)
+
+
+def encode_append(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    generation: int,
+    resume: bool = True,
+    consolidate: bool = True,
+) -> DataFrame:
+    """Append a new batch of rows to an EXISTING encoded table — the
+    incremental-ingest action (daily drops, CDC batches, stream
+    epochs). The table's persisted plan supplies key, boundaries and
+    bucket count, so appended chunks partition on the same key grid as
+    the original ones (zone maps stay selective; key ranges across
+    generations simply overlap, which the decode pruning already
+    handles).
+
+    ``generation`` is the ingest's STABLE identity (>= 1; e.g. the
+    batch date ordinal or stream epoch): chunk ids live in
+    [generation * GENERATION_STRIDE, ...), so re-running the same
+    generation after a crash resumes it (skips its durable chunks)
+    while distinct generations never collide — the same
+    write-once-per-identity idempotence contract as the streaming
+    sink. The caller owns generation uniqueness; auto-deriving "next"
+    from existing ids would double-ingest after a crashed attempt.
+
+    Raises if the table (its plan.json) does not exist, or if the
+    appended schema differs from the table's persisted schema.
+    """
+    if generation < 1:
+        raise ValueError(f"generation must be >= 1, got {generation}")
+    plan_path = fsio.join(out_dir, "plan.json")
+    if not fsio.exists(plan_path):
+        raise FileNotFoundError(
+            f"{out_dir} is not an encoded table (no plan.json) — "
+            "create it with encode_table first"
+        )
+    plan = fsio.read_json(plan_path)
+    want = plan.get("schema_json")
+    if want and df.schema.json() != want:
+        raise ValueError(
+            "appended schema differs from the table schema; "
+            "conform the batch first (functions.conform)"
+        )
+    return encode_table(
+        spark, df, out_dir,
+        key=plan["key"], n_chunks=int(plan["n_chunks"]),
+        resume=resume, consolidate=consolidate,
+        partition_col=plan.get("partition_col"),
+        chunk_base=int(generation) * GENERATION_STRIDE,
+    )
 
 
 #: the consolidated-manifest fields (MANIFEST_SCHEMA minus the core

@@ -2556,6 +2556,65 @@ ORDER BY doc_id, epoch
 """
 
 
+
+def q57_append_generation_roundtrip(spark, sf):
+    """Incremental ingest under oracle: encode generation 0, then
+    encode_append generation 1 (a disjoint batch) into the SAME table,
+    decode the live view, and aggregate per source. The DuckDB oracle
+    recomputes count, token-count sum, token-VALUE sum and key extrema
+    from the two untouched source parquets — agreement proves the
+    append added every batch-1 row, duplicated no batch-0 row, and the
+    resume filter stayed scoped to its own generation."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_append, encode_table
+
+    src0 = f"{ARTIFACT_DIR}/q57_src0"
+    src1 = f"{ARTIFACT_DIR}/q57_src1"
+    enc = f"{ARTIFACT_DIR}/q57_enc"
+    shutil.rmtree(enc, ignore_errors=True)
+    a = tokens_table(spark, 700, seed=21)
+    b = tokens_table(spark, 500, seed=22).selectExpr(
+        "concat('g1-', doc_id) as doc_id", "tokens", "n_tok", "source"
+    )
+    a.write.mode("overwrite").parquet(src0)
+    b.write.mode("overwrite").parquet(src1)
+    encode_table(spark, spark.read.parquet(src0), enc, n_chunks=6)
+    encode_append(spark, spark.read.parquet(src1), enc, generation=1)
+    dec = decode_table(spark, enc)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q57 = f"""
+WITH u AS (
+  SELECT * FROM read_parquet('{ARTIFACT_DIR}/q57_src0/*.parquet')
+  UNION ALL
+  SELECT * FROM read_parquet('{ARTIFACT_DIR}/q57_src1/*.parquet')
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM u
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2613,4 +2672,5 @@ QUERIES = {
     "q54_ivfpq_adc_topk": (q54_ivfpq_adc_topk, SQL_Q54),
     "q55_sq_int8_topk": (q55_sq_int8_topk, SQL_Q55),
     "q56_mixture_resample": (q56_mixture_resample, SQL_Q56),
+    "q57_append_generation_roundtrip": (q57_append_generation_roundtrip, SQL_Q57),
 }

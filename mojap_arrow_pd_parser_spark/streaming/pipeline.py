@@ -26,16 +26,27 @@ def stream_encode(
     checkpoint_dir: str,
     key: str = "doc_id",
     n_chunks: int = 16,
+    max_files_per_trigger: int = 8,
 ):
     """readStream(parquet) -> foreachBatch encode_table. Returns the query.
 
     Use ``trigger(availableNow=True)`` semantics: drains what exists,
     then stops — the batch/stream-unified form of the reference's
     chunked reader loop (_readers.py:147-158).
+
+    Each micro-batch encodes into its OWN chunk-id generation
+    (chunk_base = epoch_id * GENERATION_STRIDE): epochs append instead
+    of mistaking earlier epochs' buckets for already-done resume work
+    (which silently dropped every multi-batch drain's later rows), and
+    a RETRIED epoch reuses its base, so resume's skip-durable-chunks
+    semantics make the sink exactly-once per epoch — the foreachBatch
+    idempotence contract.
     """
+    from ..operators.encode import GENERATION_STRIDE
+
     src = (
         spark.readStream.schema(TOKENS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
 
@@ -45,6 +56,7 @@ def stream_encode(
         encode_table(
             batch_df.sparkSession, batch_df, out_dir, key=key,
             n_chunks=n_chunks, resume=True,
+            chunk_base=int(epoch_id) * GENERATION_STRIDE,
         )
 
     return (

@@ -1392,3 +1392,92 @@ class TestMixtureResample:
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # zero shuffle
         assert "EvalPython" not in plan
+
+
+class TestEncodeAppend:
+    """Generation-namespaced appends: the incremental-ingest action and
+    the multi-epoch streaming fix (epochs used to vanish into gen-0's
+    resume filter — every row of a multi-batch drain after batch 0 was
+    silently dropped)."""
+
+    def _tbl(self, spark, n, seed, prefix=""):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        t = tokens_table(spark, n, seed=seed)
+        if prefix:
+            t = t.selectExpr(
+                f"concat('{prefix}', doc_id) as doc_id",
+                "tokens", "n_tok", "source",
+            )
+        return t
+
+    def test_append_adds_rows_not_resumes(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table,
+        )
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, verify_roundtrip,
+        )
+        out = str(tmp_path / "enc")
+        a = self._tbl(spark, 600, 1)
+        b = self._tbl(spark, 400, 2, prefix="B")
+        encode_table(spark, a, out, key="doc_id", n_chunks=4)
+        encode_append(spark, b, out, generation=1)
+        assert decode_table(spark, out).count() == 1000
+        assert verify_roundtrip(spark, a.unionAll(b), out)["mismatches"] == 0
+
+    def test_append_rerun_same_generation_is_idempotent(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table,
+        )
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        out = str(tmp_path / "enc")
+        encode_table(spark, self._tbl(spark, 300, 3), out, n_chunks=4)
+        b = self._tbl(spark, 200, 4, prefix="B")
+        encode_append(spark, b, out, generation=7)
+        encode_append(spark, b, out, generation=7)  # crash-retry replay
+        assert decode_table(spark, out).count() == 500
+
+    def test_append_validation(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table,
+        )
+        out = str(tmp_path / "enc")
+        t = self._tbl(spark, 100, 5)
+        with pytest.raises(FileNotFoundError, match="plan.json"):
+            encode_append(spark, t, out, generation=1)
+        encode_table(spark, t, out, n_chunks=2)
+        with pytest.raises(ValueError, match="generation"):
+            encode_append(spark, t, out, generation=0)
+        with pytest.raises(ValueError, match="schema"):
+            encode_append(spark, t.drop("source"), out, generation=1)
+
+    def test_append_then_compact_gc_keeps_union(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            compact_chunks, encode_append, encode_table, gc_superseded,
+        )
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        out = str(tmp_path / "enc")
+        a = self._tbl(spark, 500, 6)
+        b = self._tbl(spark, 300, 7, prefix="B")
+        encode_table(spark, a, out, n_chunks=8)
+        encode_append(spark, b, out, generation=1)
+        compact_chunks(spark, out, min_rows=200, gc=True)
+        gc_superseded(out, spark)
+        assert verify_roundtrip(spark, a.unionAll(b), out)["mismatches"] == 0
+
+    def test_multi_epoch_stream_loses_nothing(self, spark, tmp_path):
+        # THE regression: >1 micro-batch drains used to drop every
+        # row after batch 0 (resume saw its buckets as done)
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        from mojap_arrow_pd_parser_spark.streaming.pipeline import stream_encode
+        src_dir = str(tmp_path / "src")
+        out = str(tmp_path / "enc")
+        src = self._tbl(spark, 900, 8)
+        src.repartition(6).write.mode("overwrite").parquet(src_dir)
+        q = stream_encode(
+            spark, src_dir, out, str(tmp_path / "ckpt"),
+            n_chunks=3, max_files_per_trigger=2,  # forces >= 3 epochs
+        )
+        q.awaitTermination(120)
+        stored = spark.read.parquet(src_dir)
+        assert verify_roundtrip(spark, stored, out)["mismatches"] == 0
