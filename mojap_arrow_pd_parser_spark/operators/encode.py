@@ -530,10 +530,10 @@ def encode_table(
     if chunk_base < 0:
         raise ValueError(f"chunk_base must be >= 0, got {chunk_base}")
     n_buckets = int(plan["n_chunks"])
-    if chunk_base and n_buckets > GENERATION_STRIDE:
+    if chunk_base and n_buckets > GENERATION_STRIDE // 2:
         raise ValueError(
-            f"plan has {n_buckets} buckets > GENERATION_STRIDE; "
-            "generations would collide"
+            f"plan has {n_buckets} buckets > GENERATION_STRIDE/2; "
+            "generations would collide with the rewrite-id zone"
         )
     bdf = assign_buckets(df, plan)
     if chunk_base:
@@ -590,6 +590,19 @@ def encode_table(
         .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
     )
     return _finish_encode(spark, mdf, out_dir, consolidate)
+
+
+def _next_rewrite_id(done: dict | set) -> int:
+    """First free chunk id in the REWRITE ZONE (the upper half of the
+    top generation's id namespace). Compaction and row-level deletes
+    allocate here instead of max(done)+1, so their ids can never land
+    inside a generation's bucket range — where a half-finished
+    generation's resume would mistake them for its own done buckets
+    and silently skip real work."""
+    top = (max(done) // GENERATION_STRIDE) * GENERATION_STRIDE
+    zone = top + GENERATION_STRIDE // 2
+    in_zone = [c for c in done if c >= zone]
+    return (max(in_zone) + 1) if in_zone else zone
 
 
 def encode_append(
@@ -844,7 +857,7 @@ def compact_chunks(
             spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
         )
 
-    next_id = max(done) + 1
+    next_id = _next_rewrite_id(done)
     plan_key = fsio.read_json(fsio.join(out_dir, "plan.json")).get("key", "doc_id")
     chunks_dir = fsio.join(out_dir, "chunks")
     manifest_dir = fsio.join(out_dir, "manifest")
@@ -897,6 +910,113 @@ def compact_chunks(
 
     wdf = spark.createDataFrame(work, "chunk_id int, spec string").repartition(len(work))
     mdf = wdf.mapInArrow(merge_group, schema=MANIFEST_SCHEMA)
+    result = _finish_encode(spark, mdf, out_dir, consolidate)
+    if gc:
+        gc_superseded(out_dir, spark)
+    return result
+
+
+def delete_rows(
+    spark: SparkSession,
+    out_dir: str,
+    where: tuple,
+    gc: bool = False,
+    consolidate: bool = True,
+) -> DataFrame:
+    """Row-level DELETE (the lakehouse copy-on-write rewrite):
+    ``where=(col, lo, hi)`` removes every row with ``col BETWEEN lo
+    AND hi`` (NULLs never match, SQL semantics).
+
+    Candidate chunks come from the SAME zone-map prune decode uses
+    (per-column typed stats; driver sees only surviving file names):
+    chunks whose recorded [min, max] is disjoint with [lo, hi] are
+    never touched — a targeted delete on a 100-TB table rewrites
+    O(matching key range) chunks, not the table. Each candidate
+    rewrites in one distributed task (codec decode -> filter -> codec
+    re-encode) and commits with ``replaces=[old id]`` — the same
+    Iceberg-style REPLACE sidecar as compaction, so a crash at any
+    point leaves the old chunk live or the new one, never both, never
+    neither. Chunks the prune kept but the exact filter leaves intact
+    are skipped (no pointless rewrite); fully-deleted chunks rewrite
+    to a 0-row chunk (compact_chunks folds those away later).
+
+    Returns the new-chunk manifest DF. ``gc=True`` also deletes the
+    superseded files afterwards.
+    """
+    from .decode import _live_pruned_files
+
+    col, lo, hi = where
+    plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
+    files = _live_pruned_files(spark, out_dir, plan, None, where)
+    if files is None:
+        raise IOError(f"{out_dir} has no usable sidecars; cannot delete")
+    done = scan_done_chunks(out_dir, spark, columns=())
+    plan_key = plan.get("key", "doc_id")
+    chunks_dir = fsio.join(out_dir, "chunks")
+    manifest_dir = fsio.join(out_dir, "manifest")
+    next_id = _next_rewrite_id(done) if done else 0
+    work = [
+        (next_id + i, json.dumps({
+            "member": int(fn.split("-")[1].split(".")[0]), "file": fn,
+        }))
+        for i, fn in enumerate(sorted(files))
+    ]
+    if not work:
+        return _finish_encode(
+            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
+        )
+
+    def rewrite_chunk(batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from ..functions.codecs import decode_array as _dec
+
+        for b in batches:
+            for row in b.to_pylist():
+                new_id = int(row["chunk_id"])
+                spec = json.loads(row["spec"])
+                fs, p = fsio.resolve(fsio.join(chunks_dir, spec["file"]))
+                enc_t = _pq.read_table(p, filesystem=fs)
+                cols = {}
+                for i in range(enc_t.num_rows):
+                    name = enc_t.column("column")[i].as_py()
+                    meta = json.loads(enc_t.column("meta")[i].as_py())
+                    cols[name] = _dec(meta, enc_t.column("payload")[i].as_py())
+                table = pa.Table.from_arrays(
+                    list(cols.values()), names=list(cols.keys())
+                )
+                target = table.column(col)
+                matched = pc.and_kleene(
+                    pc.greater_equal(target, pa.scalar(lo)),
+                    pc.less_equal(target, pa.scalar(hi)),
+                )
+                # NULL col never matches the BETWEEN -> row survives
+                keep = pc.fill_null(pc.invert(matched), True)
+                kept = table.filter(keep)
+                if kept.num_rows == table.num_rows:
+                    continue  # prune overshot; chunk untouched
+                enc, manifest = encode_chunk_table(
+                    kept.combine_chunks(), new_id, plan_key
+                )
+                fname = f"chunk-{new_id:05d}.parquet"
+                manifest["file"] = fname
+                manifest["replaces"] = [spec["member"]]
+                manifest["file_bytes"] = fsio.write_parquet_atomic(
+                    enc, fsio.join(chunks_dir, fname)
+                )
+                fsio.write_json_atomic(
+                    fsio.join(manifest_dir, f"{new_id:05d}.json"), manifest
+                )
+                manifest.pop("file_bytes")
+                manifest.pop("col_stats", None)
+                manifest.pop("replaces")
+                yield _manifest_batch(manifest).to_batches()[0]
+
+    wdf = spark.createDataFrame(work, "chunk_id int, spec string").repartition(
+        min(len(work), spark.sparkContext.defaultParallelism)
+    )
+    mdf = wdf.mapInArrow(rewrite_chunk, schema=MANIFEST_SCHEMA)
     result = _finish_encode(spark, mdf, out_dir, consolidate)
     if gc:
         gc_superseded(out_dir, spark)

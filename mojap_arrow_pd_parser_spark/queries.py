@@ -2615,6 +2615,54 @@ GROUP BY source ORDER BY source
 """
 
 
+
+def q58_delete_rows_roundtrip(spark, sf):
+    """Row-level DELETE under oracle: encode -> delete_rows
+    (copy-on-write rewrite, n_tok BETWEEN 120 AND 240) -> GC -> decode
+    the live view. The DuckDB oracle computes the same per-source
+    aggregates over the untouched source parquet with NOT BETWEEN —
+    agreement proves the rewrite removed exactly the matching rows and
+    left every byte of every surviving row intact."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import delete_rows, encode_table
+
+    src_dir = f"{ARTIFACT_DIR}/q58_src"
+    enc = f"{ARTIFACT_DIR}/q58_enc"
+    shutil.rmtree(enc, ignore_errors=True)
+    tokens_table(spark, 800, seed=41).write.mode("overwrite").parquet(src_dir)
+    encode_table(spark, spark.read.parquet(src_dir), enc, n_chunks=8)
+    delete_rows(spark, enc, ("n_tok", 120, 240), gc=True)
+    dec = decode_table(spark, enc)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q58 = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM read_parquet('{ARTIFACT_DIR}/q58_src/*.parquet')
+WHERE n_tok NOT BETWEEN 120 AND 240
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2673,4 +2721,5 @@ QUERIES = {
     "q55_sq_int8_topk": (q55_sq_int8_topk, SQL_Q55),
     "q56_mixture_resample": (q56_mixture_resample, SQL_Q56),
     "q57_append_generation_roundtrip": (q57_append_generation_roundtrip, SQL_Q57),
+    "q58_delete_rows_roundtrip": (q58_delete_rows_roundtrip, SQL_Q58),
 }

@@ -1481,3 +1481,79 @@ class TestEncodeAppend:
         q.awaitTermination(120)
         stored = spark.read.parquet(src_dir)
         assert verify_roundtrip(spark, stored, out)["mismatches"] == 0
+
+
+class TestDeleteRows:
+    """Copy-on-write row-level delete: exactness vs a filtered source,
+    zone-map targeting (untouched chunks not rewritten), NULL-BETWEEN
+    semantics, rewrite-zone id allocation, interplay with append/GC."""
+
+    def _encode(self, spark, tmp_path, n=600, n_chunks=6):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        out = str(tmp_path / "enc")
+        src = tokens_table(spark, n, seed=31)
+        encode_table(spark, src, out, n_chunks=n_chunks)
+        return src, out
+
+    def test_delete_matches_filtered_source(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import delete_rows
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, verify_roundtrip,
+        )
+        src, out = self._encode(spark, tmp_path)
+        lo, hi = 100, 300
+        delete_rows(spark, out, ("n_tok", lo, hi), gc=True)
+        want = src.filter(~F.col("n_tok").between(lo, hi))
+        assert decode_table(spark, out).count() == want.count()
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_nonmatching_delete_rewrites_nothing(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, live_chunks, scan_done_chunks,
+        )
+        _src, out = self._encode(spark, tmp_path)
+        before = set(live_chunks(scan_done_chunks(out)))
+        delete_rows(spark, out, ("n_tok", 10**9, 2 * 10**9))
+        after = set(live_chunks(scan_done_chunks(out)))
+        assert after == before  # zone maps pruned every chunk
+
+    def test_null_rows_survive(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        out = str(tmp_path / "enc")
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 5), ("c", None), ("d", 9)],
+            "doc_id string, v int",
+        )
+        encode_table(spark, df, out, n_chunks=2)
+        delete_rows(spark, out, ("v", 0, 6))
+        left = {r.doc_id for r in decode_table(spark, out).collect()}
+        assert left == {"c", "d"}  # NULL never matches BETWEEN
+
+    def test_rewrite_ids_live_in_rewrite_zone(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            GENERATION_STRIDE, delete_rows, live_chunks, scan_done_chunks,
+        )
+        _src, out = self._encode(spark, tmp_path)
+        delete_rows(spark, out, ("n_tok", 0, 10**9))
+        new = [c for c in live_chunks(scan_done_chunks(out))
+               if c >= GENERATION_STRIDE // 2]
+        assert new  # every rewritten chunk allocated in the zone
+
+    def test_delete_then_append_then_compact(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            compact_chunks, delete_rows, encode_append,
+        )
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        src, out = self._encode(spark, tmp_path)
+        delete_rows(spark, out, ("n_tok", 100, 300), gc=True)
+        b = tokens_table(spark, 200, seed=32).selectExpr(
+            "concat('B', doc_id) as doc_id", "tokens", "n_tok", "source")
+        encode_append(spark, b, out, generation=1)
+        compact_chunks(spark, out, min_rows=100, gc=True)
+        want = src.filter(~F.col("n_tok").between(100, 300)).unionAll(b)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
