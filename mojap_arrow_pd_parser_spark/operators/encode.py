@@ -1023,6 +1023,147 @@ def delete_rows(
     return result
 
 
+def upsert_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    generation: int,
+    consolidate: bool = True,
+    gc: bool = False,
+) -> DataFrame:
+    """MERGE by plan key (the last lakehouse verb): every row of ``df``
+    whose key already exists REPLACES the stored row; new keys insert.
+    Two phases, both resumable under the same ``generation``:
+
+    1. **Rewrite**: candidate chunks (live chunks whose key zone map
+       overlaps the batch's [min, max]; string-keyed plans prune, other
+       key types conservatively rewrite-scan all live chunks) drop
+       their matching keys via the delete machinery — each chunk's own
+       drop-key list is assembled DISTRIBUTED (batch keys interval-join
+       the broadcast chunk-interval table, grouped per chunk), so the
+       driver never holds keys; tasks decode -> anti-filter ->
+       re-encode with ``replaces=[old]`` sidecars, ids from the rewrite
+       zone. Chunks whose candidate keys turn out absent are skipped.
+    2. **Insert**: :func:`encode_append` of the whole batch under
+       ``generation``.
+
+    Retrying the same (df, generation) converges: phase 1 excludes the
+    generation's OWN bucket range (else the retry would re-drop the
+    rows its first attempt inserted, which append-resume won't
+    re-encode), earlier generations' matches are already gone (skip),
+    and phase 2 resumes its durable chunks. The two
+    phases are NOT one atomic snapshot — a reader between them sees
+    the deletes before the inserts (documented read-uncommitted window;
+    the crash leaves a retriable, never-duplicated state). Batch keys
+    must be unique within ``df``.
+    """
+    import pyarrow.parquet as _pq  # noqa: F401 (worker import check)
+
+    plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
+    key = plan["key"]
+    done = scan_done_chunks(out_dir, spark, columns=("key_min", "key_max"))
+    # a RETRY of this generation must not rewrite its own prior
+    # insert chunks (append-resume would then skip re-inserting them):
+    # exclude the generation's bucket range from phase-1 candidates
+    gen_lo = int(generation) * GENERATION_STRIDE
+    gen_hi = gen_lo + int(plan["n_chunks"])
+    live = {
+        cid: m for cid, m in live_chunks(done).items()
+        if not (gen_lo <= cid < gen_hi)
+    }
+    if plan.get("key_type") == "string" and live:
+        b = df.agg(F.min(key).cast("string"), F.max(key).cast("string")).first()
+        lo, hi = b[0], b[1]
+        if lo is None:  # empty batch: nothing to rewrite or insert
+            cands = {}
+        else:
+            cands = {
+                cid: m for cid, m in live.items()
+                if not (m["key_max"] < lo or m["key_min"] > hi)
+            }
+    else:
+        cands = dict(live)
+    chunks_dir = fsio.join(out_dir, "chunks")
+    manifest_dir = fsio.join(out_dir, "manifest")
+    if cands:
+        base = _next_rewrite_id(done)
+        rows = [
+            (int(cid), int(base + i), m["file"],
+             m.get("key_min", ""), m.get("key_max", ""))
+            for i, (cid, m) in enumerate(sorted(cands.items()))
+        ]
+        ivals = spark.createDataFrame(
+            rows, "old_id int, new_id int, file string, kmin string, kmax string"
+        )
+        keys = df.select(F.col(key).cast("string").alias("_k")).distinct()
+        if plan.get("key_type") == "string":
+            cond = (F.col("_k") >= F.col("kmin")) & (F.col("_k") <= F.col("kmax"))
+            pairs = keys.join(F.broadcast(ivals), cond)
+        else:
+            pairs = keys.crossJoin(F.broadcast(ivals))
+        specs = pairs.groupBy("old_id", "new_id", "file").agg(
+            F.collect_list("_k").alias("drop_keys")
+        )
+
+        def rewrite(batches):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq_
+
+            from ..functions.codecs import decode_array as _dec
+
+            for b in batches:
+                for row in b.to_pylist():
+                    fs, p = fsio.resolve(fsio.join(chunks_dir, row["file"]))
+                    enc_t = pq_.read_table(p, filesystem=fs)
+                    cols = {}
+                    for i in range(enc_t.num_rows):
+                        name = enc_t.column("column")[i].as_py()
+                        meta = json.loads(enc_t.column("meta")[i].as_py())
+                        cols[name] = _dec(meta, enc_t.column("payload")[i].as_py())
+                    table = pa.Table.from_arrays(
+                        list(cols.values()), names=list(cols.keys())
+                    )
+                    matched = pc.is_in(
+                        pc.cast(table.column(key), pa.string()),
+                        value_set=pa.array(row["drop_keys"], type=pa.string()),
+                    )
+                    keep = pc.invert(pc.fill_null(matched, False))
+                    kept = table.filter(keep)
+                    if kept.num_rows == table.num_rows:
+                        continue  # candidate keys absent; chunk untouched
+                    new_id = int(row["new_id"])
+                    enc, manifest = encode_chunk_table(
+                        kept.combine_chunks(), new_id, key
+                    )
+                    fname = f"chunk-{new_id:05d}.parquet"
+                    manifest["file"] = fname
+                    manifest["replaces"] = [int(row["old_id"])]
+                    manifest["file_bytes"] = fsio.write_parquet_atomic(
+                        enc, fsio.join(chunks_dir, fname)
+                    )
+                    fsio.write_json_atomic(
+                        fsio.join(manifest_dir, f"{new_id:05d}.json"), manifest
+                    )
+                    manifest.pop("file_bytes")
+                    manifest.pop("col_stats", None)
+                    manifest.pop("replaces")
+                    yield _manifest_batch(manifest).to_batches()[0]
+
+        n_spec = specs.count()
+        if n_spec:
+            mdf = specs.repartition(
+                min(n_spec, spark.sparkContext.defaultParallelism)
+            ).mapInArrow(rewrite, schema=MANIFEST_SCHEMA)
+            _finish_encode(spark, mdf, out_dir, consolidate=False)
+
+    result = encode_append(
+        spark, df, out_dir, generation, consolidate=consolidate
+    )
+    if gc:
+        gc_superseded(out_dir, spark)
+    return result
+
+
 def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     """Delete sidecars+files of chunks superseded by verified
     compacted chunks. Pure garbage collection: the read view already

@@ -2663,6 +2663,74 @@ GROUP BY source ORDER BY source
 """
 
 
+
+def q59_upsert_roundtrip(spark, sf):
+    """MERGE under oracle: encode a source, upsert a batch (60 existing
+    keys with REWRITTEN token payloads + 40 new keys), GC, decode. The
+    DuckDB oracle recomputes the post-merge truth from the two
+    untouched parquet inputs alone — source anti-join batch keys,
+    UNION ALL batch — so a merge that lost a row, kept a stale
+    payload, duplicated a key, or dropped a bystander mismatches."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_table, upsert_rows
+
+    src_dir = f"{ARTIFACT_DIR}/q59_src"
+    bat_dir = f"{ARTIFACT_DIR}/q59_batch"
+    enc = f"{ARTIFACT_DIR}/q59_enc"
+    shutil.rmtree(enc, ignore_errors=True)
+    src = tokens_table(spark, 600, seed=61)
+    upd = (
+        src.orderBy("doc_id").limit(60)
+        .withColumn(
+            "tokens",
+            F.transform("tokens", lambda x: F.pmod(x, F.lit(997)).cast("int")),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    ins = tokens_table(spark, 40, seed=62).selectExpr(
+        "concat('NEW', doc_id) as doc_id", "tokens", "n_tok", "source"
+    )
+    batch = upd.unionAll(ins)
+    src.write.mode("overwrite").parquet(src_dir)
+    batch.write.mode("overwrite").parquet(bat_dir)
+    encode_table(spark, spark.read.parquet(src_dir), enc, n_chunks=6)
+    upsert_rows(spark, spark.read.parquet(bat_dir), enc, generation=1, gc=True)
+    dec = decode_table(spark, enc)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q59 = f"""
+WITH merged AS (
+  SELECT s.* FROM read_parquet('{ARTIFACT_DIR}/q59_src/*.parquet') s
+  ANTI JOIN read_parquet('{ARTIFACT_DIR}/q59_batch/*.parquet') b USING (doc_id)
+  UNION ALL
+  SELECT * FROM read_parquet('{ARTIFACT_DIR}/q59_batch/*.parquet')
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM merged
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2722,4 +2790,5 @@ QUERIES = {
     "q56_mixture_resample": (q56_mixture_resample, SQL_Q56),
     "q57_append_generation_roundtrip": (q57_append_generation_roundtrip, SQL_Q57),
     "q58_delete_rows_roundtrip": (q58_delete_rows_roundtrip, SQL_Q58),
+    "q59_upsert_roundtrip": (q59_upsert_roundtrip, SQL_Q59),
 }

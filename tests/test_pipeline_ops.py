@@ -1557,3 +1557,65 @@ class TestDeleteRows:
         compact_chunks(spark, out, min_rows=100, gc=True)
         want = src.filter(~F.col("n_tok").between(100, 300)).unionAll(b)
         assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+
+class TestUpsertRows:
+    """MERGE by plan key: replaced keys carry the NEW payloads, new
+    keys insert, untouched rows survive byte-identical, retry of the
+    same generation converges, and non-candidates are never rewritten."""
+
+    def _setup(self, spark, tmp_path, n=400):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        out = str(tmp_path / "enc")
+        src = tokens_table(spark, n, seed=51)
+        encode_table(spark, src, out, n_chunks=4)
+        return src, out
+
+    def _batch(self, spark, src, n_update=50, n_insert=30):
+        # updates: existing keys with REWRITTEN token payloads;
+        # inserts: brand-new keys
+        upd = (
+            src.orderBy("doc_id").limit(n_update)
+            .withColumn(
+                "tokens",
+                F.transform("tokens", lambda x: F.pmod(x, F.lit(997)).cast("int")),
+            )
+        )
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        ins = tokens_table(spark, n_insert, seed=52).selectExpr(
+            "concat('NEW', doc_id) as doc_id", "tokens", "n_tok", "source")
+        return upd.unionAll(ins)
+
+    def test_upsert_semantics_exact(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import upsert_rows
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        src, out = self._setup(spark, tmp_path)
+        batch = self._batch(spark, src)
+        upsert_rows(spark, batch, out, generation=1, gc=True)
+        want = src.join(batch.select("doc_id"), "doc_id", "left_anti").unionAll(batch)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_upsert_retry_converges(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import upsert_rows
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        src, out = self._setup(spark, tmp_path)
+        batch = self._batch(spark, src)
+        upsert_rows(spark, batch, out, generation=1)
+        upsert_rows(spark, batch, out, generation=1)  # crash-retry replay
+        assert decode_table(spark, out).count() == 400 + 30
+
+    def test_pure_insert_rewrites_nothing(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            live_chunks, scan_done_chunks, upsert_rows,
+        )
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        src, out = self._setup(spark, tmp_path)
+        before = set(live_chunks(scan_done_chunks(out)))
+        # 'zzz' prefix sorts past every existing key -> zone prune
+        ins = tokens_table(spark, 20, seed=53).selectExpr(
+            "concat('zzz', doc_id) as doc_id", "tokens", "n_tok", "source")
+        upsert_rows(spark, ins, out, generation=1)
+        after = set(live_chunks(scan_done_chunks(out)))
+        assert before <= after and len(after) > len(before)
+        assert before == {c for c in after if c < 10**6 // 2}
