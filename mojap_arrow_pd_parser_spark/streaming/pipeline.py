@@ -67,6 +67,50 @@ def stream_encode(
     )
 
 
+def stream_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming MERGE: a CDC-style update feed (full rows keyed by the
+    table's plan key) applied to an EXISTING encoded table via
+    ``foreachBatch`` + :func:`operators.encode.upsert_rows`, the epoch
+    id serving as the upsert generation. A replayed epoch re-runs the
+    SAME (batch, generation) pair, which upsert_rows makes convergent
+    (its rewrite phase excludes the generation's own chunks; its append
+    phase resumes) — exactly-once effect on at-least-once delivery,
+    the same contract as :func:`stream_encode`.
+
+    Epoch generations start at 1 (epoch_id + 1): generation 0 is the
+    base table. Note upsert's documented read-uncommitted window
+    applies per epoch.
+    """
+    from ..operators.encode import upsert_rows
+
+    src = (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_rows(
+            batch_df.sparkSession, batch_df, out_dir,
+            generation=int(epoch_id) + 1,
+        )
+
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 #: encoded chunk-file row schema (operators/encode.py CHUNK_FILE_SCHEMA)
 ENCODED_ROWS_DDL = (
     "chunk_id int, column string, codec string, meta string, "

@@ -1619,3 +1619,35 @@ class TestUpsertRows:
         after = set(live_chunks(scan_done_chunks(out)))
         assert before <= after and len(after) > len(before)
         assert before == {c for c in after if c < 10**6 // 2}
+
+    def test_stream_upsert_multi_epoch(self, spark, tmp_path):
+        # CDC feed drained in >1 micro-batch: each key appears once in
+        # the feed, so the converged table is order-independent
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        from mojap_arrow_pd_parser_spark.streaming.pipeline import stream_upsert
+
+        out = str(tmp_path / "enc")
+        feed_dir = str(tmp_path / "feed")
+        base = tokens_table(spark, 300, seed=71)
+        encode_table(spark, base, out, n_chunks=4)
+        upd = (
+            base.orderBy("doc_id").limit(80)
+            .withColumn(
+                "tokens",
+                F.transform("tokens", lambda x: F.pmod(x, F.lit(997)).cast("int")),
+            )
+            .withColumn("n_tok", F.size("tokens"))
+        )
+        ins = tokens_table(spark, 40, seed=72).selectExpr(
+            "concat('NEW', doc_id) as doc_id", "tokens", "n_tok", "source")
+        feed = upd.unionAll(ins)
+        feed.repartition(6).write.mode("overwrite").parquet(feed_dir)
+        q = stream_upsert(
+            spark, feed_dir, out, str(tmp_path / "ckpt"),
+            max_files_per_trigger=2,  # forces >= 3 epochs
+        )
+        q.awaitTermination(180)
+        want = base.join(feed.select("doc_id"), "doc_id", "left_anti").unionAll(feed)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
