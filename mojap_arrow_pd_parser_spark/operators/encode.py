@@ -987,9 +987,16 @@ def delete_rows(
                     list(cols.values()), names=list(cols.keys())
                 )
                 target = table.column(col)
+                lo_s, hi_s = pa.scalar(lo), pa.scalar(hi)
+                if lo_s.type != target.type:
+                    # mistyped bounds (e.g. CLI strings vs int column):
+                    # cast rather than crash; incompatible casts raise
+                    # loudly, never silently mis-delete
+                    lo_s = lo_s.cast(target.type)
+                    hi_s = hi_s.cast(target.type)
                 matched = pc.and_kleene(
-                    pc.greater_equal(target, pa.scalar(lo)),
-                    pc.less_equal(target, pa.scalar(hi)),
+                    pc.greater_equal(target, lo_s),
+                    pc.less_equal(target, hi_s),
                 )
                 # NULL col never matches the BETWEEN -> row survives
                 keep = pc.fill_null(pc.invert(matched), True)

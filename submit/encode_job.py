@@ -47,6 +47,15 @@ def main() -> None:
     p.add_argument("--align-files", action="store_true",
                    help="shuffle-free encode: one source parquet file "
                         "-> one chunk (requires --input)")
+    p.add_argument("--append-generation", type=int, default=None,
+                   help="incremental ingest: append this batch to an "
+                        "EXISTING table under the given generation id")
+    p.add_argument("--upsert-generation", type=int, default=None,
+                   help="MERGE by key: batch rows replace same-key rows, "
+                        "new keys insert, under the given generation id")
+    p.add_argument("--delete-where", default=None, metavar="COL,LO,HI",
+                   help="row-level delete on --output (standalone: "
+                        "needs no --input): delete COL BETWEEN LO AND HI")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode + round-trip verify after encoding")
@@ -57,8 +66,8 @@ def main() -> None:
                    help="after encoding, decode the table back to plain "
                         "parquet at this path (the export/consumer job)")
     args = p.parse_args()
-    if not args.synthetic and not args.input:
-        p.error("need --input or --synthetic")
+    if not args.synthetic and not args.input and not args.delete_where:
+        p.error("need --input, --synthetic, or --delete-where")
 
     from pyspark.sql import SparkSession
 
@@ -68,9 +77,34 @@ def main() -> None:
 
     from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
     from mojap_arrow_pd_parser_spark.operators.encode import (
+        delete_rows,
+        encode_append,
         encode_files,
         encode_table,
+        upsert_rows,
     )
+
+    if args.delete_where and not (args.input or args.synthetic):
+        col, lo, hi = args.delete_where.split(",", 2)
+
+        def _coerce(v: str):
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    continue
+            return v
+
+        lo, hi = _coerce(lo), _coerce(hi)
+        t0 = time.monotonic()
+        manifest = delete_rows(spark, args.output, (col, lo, hi), gc=True)
+        print(json.dumps({
+            "deleted_where": [col, lo, hi],
+            "manifest_chunks": manifest.count(),
+            "wall_sec": round(time.monotonic() - t0, 2),
+        }))
+        spark.stop()
+        return
 
     if args.align_files and not args.input:
         p.error("--align-files requires --input (a parquet directory)")
@@ -83,7 +117,16 @@ def main() -> None:
         df = spark.read.parquet(args.input)
 
     t0 = time.monotonic()
-    if args.align_files:
+    if args.upsert_generation is not None:
+        manifest = upsert_rows(
+            spark, df, args.output, generation=args.upsert_generation,
+        )
+    elif args.append_generation is not None:
+        manifest = encode_append(
+            spark, df, args.output, generation=args.append_generation,
+            resume=not args.no_resume,
+        )
+    elif args.align_files:
         manifest = encode_files(
             spark, args.input, args.output, key=args.key,
             resume=not args.no_resume,
