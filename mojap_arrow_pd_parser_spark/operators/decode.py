@@ -544,8 +544,16 @@ def decode_rows_df(
     enc: DataFrame, out_schema: StructType, verify_checksums: bool = True
 ) -> DataFrame:
     """Core decode: encoded-rows DataFrame -> decoded rows via one
-    mapInArrow pass (shared by batch decode_table and stream_decode)."""
+    mapInArrow pass (shared by batch decode_table and stream_decode).
+
+    Chunks written BEFORE an additive schema evolution lack the added
+    columns; those decode as typed nulls (the Iceberg add-column read
+    semantics) — the arrow type comes from the table schema, so every
+    chunk yields identical batch schemas."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
     arrow_schema_names = [f.name for f in out_schema.fields]
+    arrow_types = {f.name: to_arrow_type(f.dataType) for f in out_schema.fields}
 
     def decode_chunk(table: pa.Table) -> pa.Table:
         from ..functions.codecs import decode_array
@@ -563,7 +571,11 @@ def decode_rows_df(
                     f"(chunk {table.column('chunk_id')[0].as_py()})"
                 )
             by_col[name] = decode_array(json.loads(metas[i]), payload)
-        arrays = [by_col[n] for n in arrow_schema_names]
+        n_rows = len(next(iter(by_col.values()))) if by_col else 0
+        arrays = [
+            by_col[n] if n in by_col else pa.nulls(n_rows, type=arrow_types[n])
+            for n in arrow_schema_names
+        ]
         return pa.Table.from_arrays(arrays, names=arrow_schema_names)
 
     def decode_partition(batches):

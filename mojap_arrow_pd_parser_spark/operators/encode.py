@@ -592,6 +592,44 @@ def encode_table(
     return _finish_encode(spark, mdf, out_dir, consolidate)
 
 
+def _evolve_table_schema(plan: dict, df: DataFrame, plan_path: str) -> None:
+    """ADDITIVE schema evolution (the Iceberg add-column subset): the
+    batch must carry every existing field with its exact type, and
+    every NEW field must be nullable (older chunks decode it as typed
+    nulls — decode_rows_df null-fills from the table schema). The
+    evolved schema commits to plan.json BEFORE any data is written: a
+    crash right after leaves an evolved schema with no new rows, which
+    reads fine; committing after would let new chunks carry columns
+    the table schema can't decode."""
+    from pyspark.sql.types import StructType as _ST
+
+    old = _ST.fromJson(json.loads(plan["schema_json"]))
+    new = df.schema
+    new_by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        g = new_by_name.get(f.name)
+        if g is None:
+            raise ValueError(
+                f"schema evolution is additive only: column {f.name!r} "
+                "missing from the appended batch"
+            )
+        if g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change types: {f.name!r} is "
+                f"{f.dataType.simpleString()} in the table, "
+                f"{g.dataType.simpleString()} in the batch"
+            )
+    old_names = {f.name for f in old.fields}
+    for g in new.fields:
+        if g.name not in old_names and not g.nullable:
+            raise ValueError(
+                f"added column {g.name!r} must be nullable: rows in "
+                "earlier generations have no value for it"
+            )
+    plan["schema_json"] = new.json()
+    fsio.write_json_atomic(plan_path, plan)
+
+
 def _next_rewrite_id(done: dict | set) -> int:
     """First free chunk id in the REWRITE ZONE (the upper half of the
     top generation's id namespace). Compaction and row-level deletes
@@ -612,6 +650,7 @@ def encode_append(
     generation: int,
     resume: bool = True,
     consolidate: bool = True,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Append a new batch of rows to an EXISTING encoded table — the
     incremental-ingest action (daily drops, CDC batches, stream
@@ -644,10 +683,13 @@ def encode_append(
     plan = fsio.read_json(plan_path)
     want = plan.get("schema_json")
     if want and df.schema.json() != want:
-        raise ValueError(
-            "appended schema differs from the table schema; "
-            "conform the batch first (functions.conform)"
-        )
+        if not allow_schema_evolution:
+            raise ValueError(
+                "appended schema differs from the table schema; "
+                "conform the batch first (functions.conform) or pass "
+                "allow_schema_evolution=True for additive evolution"
+            )
+        _evolve_table_schema(plan, df, plan_path)
     return encode_table(
         spark, df, out_dir,
         key=plan["key"], n_chunks=int(plan["n_chunks"]),

@@ -45,7 +45,16 @@ def normalize(df_pandas):
 
 
 def main():
-    only = set(sys.argv[1:])
+    # accept space- AND comma-separated names, tolerate an `--only`
+    # flag word, and FAIL on unknown names — a filter that silently
+    # matches nothing turns the whole run into a vacuous "ALL MATCH"
+    only = {
+        n
+        for a in sys.argv[1:]
+        if a != "--only"
+        for n in a.split(",")
+        if n
+    }
     spark = get_spark("crosscheck", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for f in glob.glob(f"{SF_DIR}/*.parquet"):
@@ -53,6 +62,9 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"crosscheck: unknown query names: {sorted(unknown)}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

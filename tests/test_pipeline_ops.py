@@ -1651,3 +1651,63 @@ class TestUpsertRows:
         q.awaitTermination(180)
         want = base.join(feed.select("doc_id"), "doc_id", "left_anti").unionAll(feed)
         assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+
+class TestSchemaEvolution:
+    """Additive schema evolution on append: old chunks decode the new
+    column as typed nulls, validation rejects non-additive changes."""
+
+    def _base(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        out = str(tmp_path / "enc")
+        src = tokens_table(spark, 300, seed=81)
+        encode_table(spark, src, out, n_chunks=4)
+        return src, out
+
+    def test_added_column_null_fills_old_generations(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_append
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, verify_roundtrip,
+        )
+        src, out = self._base(spark, tmp_path)
+        b = tokens_table(spark, 150, seed=82).selectExpr(
+            "concat('B', doc_id) as doc_id", "tokens", "n_tok", "source",
+            "CAST(n_tok * 2 AS DOUBLE) as quality",
+        )
+        encode_append(spark, b, out, generation=1, allow_schema_evolution=True)
+        dec = decode_table(spark, out)
+        assert "quality" in dec.columns
+        assert dec.count() == 450
+        assert dec.filter(F.col("quality").isNull()).count() == 300
+        want = src.withColumn("quality", F.lit(None).cast("double")).unionAll(b)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_rejects_non_additive_changes(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_append
+        src, out = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="missing from the appended"):
+            encode_append(spark, src.drop("source"), out, generation=1,
+                          allow_schema_evolution=True)
+        with pytest.raises(ValueError, match="cannot change types"):
+            encode_append(
+                spark, src.withColumn("n_tok", F.col("n_tok").cast("long")),
+                out, generation=1, allow_schema_evolution=True)
+        with pytest.raises(ValueError, match="differs from the table schema"):
+            encode_append(spark, src.withColumn("x", F.lit(1)), out, generation=1)
+
+    def test_where_filter_on_added_column(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_append
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        _src, out = self._base(spark, tmp_path)
+        b = tokens_table(spark, 100, seed=83).selectExpr(
+            "concat('B', doc_id) as doc_id", "tokens", "n_tok", "source",
+            "CAST(n_tok AS DOUBLE) as quality",
+        )
+        encode_append(spark, b, out, generation=1, allow_schema_evolution=True)
+        lo = float(b.agg(F.min("quality")).first()[0])
+        got = decode_table(spark, out, where=("quality", lo, lo)).count()
+        want = b.filter(F.col("quality") == lo).count()
+        assert got == want  # old-generation nulls never match BETWEEN
