@@ -2731,6 +2731,72 @@ GROUP BY source ORDER BY source
 """
 
 
+
+def q60_schema_evolution_roundtrip(spark, sf):
+    """Additive schema evolution under oracle: encode a base table,
+    append a batch that ADDS a nullable double column (evolution on),
+    decode the live view. DuckDB recomputes the truth from the two
+    untouched parquet inputs with the old generation's new column as
+    NULL — counts, sums over the added column (NULLs ignored, SQL
+    semantics), token value sums, and extrema must all agree."""
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table
+    from .operators.encode import encode_append, encode_table
+
+    src0 = f"{ARTIFACT_DIR}/q60_src0"
+    src1 = f"{ARTIFACT_DIR}/q60_src1"
+    enc = f"{ARTIFACT_DIR}/q60_enc"
+    shutil.rmtree(enc, ignore_errors=True)
+    a = tokens_table(spark, 500, seed=91)
+    b = tokens_table(spark, 300, seed=92).selectExpr(
+        "concat('g1-', doc_id) as doc_id", "tokens", "n_tok", "source",
+        "CAST(n_tok AS DOUBLE) / 7 as quality",
+    )
+    a.write.mode("overwrite").parquet(src0)
+    b.write.mode("overwrite").parquet(src1)
+    encode_table(spark, spark.read.parquet(src0), enc, n_chunks=5)
+    encode_append(
+        spark, spark.read.parquet(src1), enc, generation=1,
+        allow_schema_evolution=True,
+    )
+    dec = decode_table(spark, enc)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_quality"),
+            F.round(F.sum("quality"), 5).alias("sum_quality"),
+            F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q60 = f"""
+WITH u AS (
+  SELECT doc_id, tokens, n_tok, source, CAST(NULL AS DOUBLE) AS quality
+  FROM read_parquet('{ARTIFACT_DIR}/q60_src0/*.parquet')
+  UNION ALL
+  SELECT doc_id, tokens, n_tok, source, quality
+  FROM read_parquet('{ARTIFACT_DIR}/q60_src1/*.parquet')
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(quality) AS n_quality,
+       round(SUM(quality), 5) AS sum_quality,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM u
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2791,4 +2857,5 @@ QUERIES = {
     "q57_append_generation_roundtrip": (q57_append_generation_roundtrip, SQL_Q57),
     "q58_delete_rows_roundtrip": (q58_delete_rows_roundtrip, SQL_Q58),
     "q59_upsert_roundtrip": (q59_upsert_roundtrip, SQL_Q59),
+    "q60_schema_evolution_roundtrip": (q60_schema_evolution_roundtrip, SQL_Q60),
 }
