@@ -640,7 +640,20 @@ def _next_rewrite_id(done: dict | set) -> int:
     top = (max(done) // GENERATION_STRIDE) * GENERATION_STRIDE
     zone = top + GENERATION_STRIDE // 2
     in_zone = [c for c in done if c >= zone]
-    return (max(in_zone) + 1) if in_zone else zone
+    nxt = (max(in_zone) + 1) if in_zone else zone
+    if nxt >= top + GENERATION_STRIDE:
+        # the zone is exhausted (~STRIDE/2 cumulative rewrites): ids
+        # would silently cross into the NEXT generation's bucket
+        # namespace and defeat the resume-scoping invariant the zone
+        # exists for. Refuse loudly; appending any generation above
+        # `top` opens a fresh zone.
+        raise RuntimeError(
+            f"rewrite-id zone [{zone}, {top + GENERATION_STRIDE}) is "
+            "exhausted; append a new generation (encode_append) to "
+            "open a fresh rewrite zone before further compaction/"
+            "delete/upsert rewrites"
+        )
+    return nxt
 
 
 def encode_append(
@@ -1028,6 +1041,12 @@ def delete_rows(
                 table = pa.Table.from_arrays(
                     list(cols.values()), names=list(cols.keys())
                 )
+                if col not in cols:
+                    # pre-evolution chunk: the where column was added
+                    # later, every row reads as NULL for it, and NULL
+                    # never matches a BETWEEN — chunk untouched (the
+                    # zone-map prune conservatively kept it)
+                    continue
                 target = table.column(col)
                 lo_s, hi_s = pa.scalar(lo), pa.scalar(hi)
                 if lo_s.type != target.type:

@@ -79,8 +79,11 @@ def mixture_resample(
     plus one more iff its id-hash bucket falls under the fractional
     part. Rates > 1 replicate (the ``epoch`` column, 1-based,
     distinguishes copies so downstream shuffling/packing can interleave
-    them); rates in [0, 1) downsample exactly like ``hash_sample``;
-    sources absent from ``rates`` get ``default_rate``.
+    them); rates in [0, 1) downsample with the same deterministic
+    hash-bucket semantics as ``hash_sample`` (but on the portable
+    28-bit md5 prefix rather than xxhash64, so the selected row sets
+    differ between the two operators for the same rate); sources
+    absent from ``rates`` get ``default_rate``.
 
     Everything is a pure function of (id, source): re-runs, resumed
     jobs and different cluster sizes produce the identical multiset —

@@ -35,12 +35,16 @@ def stream_encode(
     chunked reader loop (_readers.py:147-158).
 
     Each micro-batch encodes into its OWN chunk-id generation
-    (chunk_base = epoch_id * GENERATION_STRIDE): epochs append instead
-    of mistaking earlier epochs' buckets for already-done resume work
-    (which silently dropped every multi-batch drain's later rows), and
-    a RETRIED epoch reuses its base, so resume's skip-durable-chunks
-    semantics make the sink exactly-once per epoch — the foreachBatch
-    idempotence contract.
+    (chunk_base = (epoch_id + 1) * GENERATION_STRIDE): epochs append
+    instead of mistaking earlier epochs' buckets for already-done
+    resume work (which silently dropped every multi-batch drain's
+    later rows), and a RETRIED epoch reuses its base, so resume's
+    skip-durable-chunks semantics make the sink exactly-once per epoch
+    — the foreachBatch idempotence contract. Epoch generations start
+    at 1 (matching ``stream_upsert``): generation 0 is reserved for a
+    pre-existing batch-encoded base table, so streaming INTO such a
+    table can never mistake the base table's buckets for epoch-0
+    resume work and drop the epoch.
     """
     from ..operators.encode import GENERATION_STRIDE
 
@@ -56,7 +60,7 @@ def stream_encode(
         encode_table(
             batch_df.sparkSession, batch_df, out_dir, key=key,
             n_chunks=n_chunks, resume=True,
-            chunk_base=int(epoch_id) * GENERATION_STRIDE,
+            chunk_base=(int(epoch_id) + 1) * GENERATION_STRIDE,
         )
 
     return (

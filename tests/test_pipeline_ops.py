@@ -1711,3 +1711,76 @@ class TestSchemaEvolution:
         got = decode_table(spark, out, where=("quality", lo, lo)).count()
         want = b.filter(F.col("quality") == lo).count()
         assert got == want  # old-generation nulls never match BETWEEN
+
+
+class TestRound7Fixes:
+    """Round-7 verdict/advice closures: stream-into-existing-table
+    epoch-0 collision, DELETE on a schema-evolved column, rewrite-id
+    zone exhaustion guard."""
+
+    def test_stream_into_preencoded_table_loses_nothing(self, spark, tmp_path):
+        # the q57 bug class, streaming flavor: epoch 0 used to land in
+        # generation 0 — if out_dir already held a batch-encoded table,
+        # epoch 0's resume saw the base table's buckets as its own done
+        # work and silently dropped the whole epoch
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        from mojap_arrow_pd_parser_spark.streaming.pipeline import stream_encode
+
+        out = str(tmp_path / "enc")
+        src_dir = str(tmp_path / "src")
+        base = tokens_table(spark, 400, seed=201)
+        encode_table(spark, base, out, key="doc_id", n_chunks=3)
+        feed = tokens_table(spark, 300, seed=202).selectExpr(
+            "concat('S', doc_id) as doc_id", "tokens", "n_tok", "source")
+        feed.repartition(4).write.mode("overwrite").parquet(src_dir)
+        q = stream_encode(
+            spark, src_dir, out, str(tmp_path / "ckpt"),
+            n_chunks=3, max_files_per_trigger=2,  # >= 2 epochs
+        )
+        q.awaitTermination(120)
+        want = base.unionAll(spark.read.parquet(src_dir))
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_delete_on_added_column_skips_preevolution_chunks(self, spark, tmp_path):
+        # ADVICE r6 medium: the where column added by schema evolution
+        # is absent from pre-evolution chunks; their rows are NULL for
+        # it and must simply survive — not crash the rewrite task
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, verify_roundtrip,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        base = tokens_table(spark, 300, seed=203)
+        encode_table(spark, base, out, n_chunks=3)
+        b = tokens_table(spark, 150, seed=204).selectExpr(
+            "concat('B', doc_id) as doc_id", "tokens", "n_tok", "source",
+            "CAST(n_tok AS DOUBLE) as quality",
+        )
+        encode_append(spark, b, out, generation=1, allow_schema_evolution=True)
+        lo = float(b.agg(F.min("quality")).first()[0])
+        hi = float(b.agg(F.expr("percentile(quality, 0.5)")).first()[0])
+        delete_rows(spark, out, ("quality", lo, hi), gc=True)
+        want = base.withColumn("quality", F.lit(None).cast("double")).unionAll(
+            b.filter(~F.col("quality").between(lo, hi))
+        )
+        assert decode_table(spark, out).count() == want.count()
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_rewrite_zone_exhaustion_raises(self):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            GENERATION_STRIDE, _next_rewrite_id,
+        )
+        zone = GENERATION_STRIDE // 2
+        assert _next_rewrite_id({0, 1}) == zone
+        assert _next_rewrite_id({0, zone, zone + 1}) == zone + 2
+        with pytest.raises(RuntimeError, match="exhausted"):
+            _next_rewrite_id({0, GENERATION_STRIDE - 1})
+        # a fresh generation above `top` opens a fresh zone
+        top2 = 2 * GENERATION_STRIDE
+        assert _next_rewrite_id({0, GENERATION_STRIDE - 1, top2}) == top2 + zone
