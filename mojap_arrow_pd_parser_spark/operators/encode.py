@@ -1091,6 +1091,83 @@ def delete_rows(
     return result
 
 
+def _upsert_candidate_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    key_type: str,
+    plan: dict,
+    live: dict[int, dict],
+    base: int,
+) -> DataFrame:
+    """Phase-1 (key, candidate chunk) pairing for :func:`upsert_rows`,
+    O(K · matching chunks) — NEVER keys x chunks:
+
+    * range-plan GRID chunks: the persisted plan grid maps each batch
+      key to its bucket (:func:`assign_buckets`, the same deterministic
+      assignment that placed the stored rows), so the pairing is one
+      EQUI-join on (bucket id) — a key meets only its own bucket's
+      chunk in each generation;
+    * rewrite-zone chunks (ids >= STRIDE/2 within their generation) and
+      ALL chunks of partition-salted plans: a typed interval join
+      against the broadcast [key_min, key_max] chunk table — the
+      manifest's stringified stats cast back to ``key_type`` so the
+      comparison is native-typed (never lexicographic on numerics,
+      never sensitive to float/timestamp render drift).
+
+    Keys travel in their NATIVE type end-to-end ('_k'); empty/0-row
+    chunks have empty-string stats that cast to NULL and drop out.
+    Returns columns (_k, old_id, new_id, file).
+    """
+    keys = df.select(F.col(key).alias("_k")).distinct()
+    zone_off = GENERATION_STRIDE // 2
+    # only pure range plans persist a key->bucket grid; partition-salt
+    # buckets depend on the stored row's partition value and
+    # file-aligned chunks on source file identity — both take the
+    # typed interval join instead
+    grid_ok = plan.get("mode") is None and plan.get("boundaries") is not None
+    grid = {
+        cid: m for cid, m in live.items()
+        if grid_ok and cid % GENERATION_STRIDE < zone_off
+    }
+    rest = {cid: m for cid, m in live.items() if cid not in grid}
+    new_ids = {cid: base + i for i, cid in enumerate(sorted(live))}
+    out = None
+    if grid:
+        gdf = spark.createDataFrame(
+            [
+                (int(cid % GENERATION_STRIDE), int(cid), int(new_ids[cid]),
+                 m["file"])
+                for cid, m in grid.items()
+            ],
+            "_bucket int, old_id int, new_id int, file string",
+        )
+        kb = assign_buckets(keys.withColumnRenamed("_k", key), plan).select(
+            F.col(key).alias("_k"), F.col("_bucket")
+        )
+        out = kb.join(F.broadcast(gdf), "_bucket").drop("_bucket")
+    if rest:
+        rdf = spark.createDataFrame(
+            [
+                (int(cid), int(new_ids[cid]), m["file"],
+                 m.get("key_min", ""), m.get("key_max", ""))
+                for cid, m in rest.items()
+            ],
+            "old_id int, new_id int, file string, kmin string, kmax string",
+        )
+        cond = (
+            (F.col("_k") >= F.col("kmin").cast(key_type))
+            & (F.col("_k") <= F.col("kmax").cast(key_type))
+        )
+        rpairs = keys.join(F.broadcast(rdf), cond).drop("kmin", "kmax")
+        out = rpairs if out is None else out.unionByName(rpairs)
+    if out is None:
+        out = spark.createDataFrame(
+            [], f"_k {key_type}, old_id int, new_id int, file string"
+        )
+    return out
+
+
 def upsert_rows(
     spark: SparkSession,
     df: DataFrame,
@@ -1103,13 +1180,26 @@ def upsert_rows(
     whose key already exists REPLACES the stored row; new keys insert.
     Two phases, both resumable under the same ``generation``:
 
-    1. **Rewrite**: candidate chunks (live chunks whose key zone map
-       overlaps the batch's [min, max]; string-keyed plans prune, other
-       key types conservatively rewrite-scan all live chunks) drop
-       their matching keys via the delete machinery — each chunk's own
-       drop-key list is assembled DISTRIBUTED (batch keys interval-join
-       the broadcast chunk-interval table, grouped per chunk), so the
-       driver never holds keys; tasks decode -> anti-filter ->
+    1. **Rewrite**: each chunk's drop-key list is assembled
+       DISTRIBUTED in the key column's NATIVE type (never via string
+       renderings, whose Spark-vs-Arrow forms differ for double and
+       timestamp keys) — the driver never holds keys. Candidate
+       pairing is O(K · matching chunks), never keys x chunks:
+
+       * PLAN-GRID chunks (range-mode plans; chunk_id %% STRIDE <
+         STRIDE/2) pair by one :func:`assign_buckets` pass over the
+         batch keys + an equi-join on the bucket id — the same
+         persisted grid that placed the stored rows maps each key
+         straight to its one candidate chunk per generation.
+       * REWRITE-ZONE chunks (compaction/delete/upsert rewrites) and
+         every chunk of partition-salted plans (bucket depends on the
+         STORED row's partition value, unknowable from the batch key)
+         pair by a typed interval join against the broadcast
+         [key_min, key_max] table — the manifest's stringified stats
+         cast back to the plan key type, so '9' > '100' traps and
+         float/timestamp render drift cannot occur.
+
+       Tasks then decode -> anti-filter (native-typed ``is_in``) ->
        re-encode with ``replaces=[old]`` sidecars, ids from the rewrite
        zone. Chunks whose candidate keys turn out absent are skipped.
     2. **Insert**: :func:`encode_append` of the whole batch under
@@ -1129,6 +1219,14 @@ def upsert_rows(
 
     plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
     key = plan["key"]
+    key_type = plan.get("key_type") or df.schema[key].dataType.simpleString()
+    if df.schema[key].dataType.simpleString() != key_type:
+        raise ValueError(
+            f"upsert batch key {key!r} is "
+            f"{df.schema[key].dataType.simpleString()}, but the table's "
+            f"plan key is {key_type}; cast the batch first — implicit "
+            "key coercion silently mis-matches keys"
+        )
     done = scan_done_chunks(out_dir, spark, columns=("key_min", "key_max"))
     # a RETRY of this generation must not rewrite its own prior
     # insert chunks (append-resume would then skip re-inserting them):
@@ -1139,36 +1237,11 @@ def upsert_rows(
         cid: m for cid, m in live_chunks(done).items()
         if not (gen_lo <= cid < gen_hi)
     }
-    if plan.get("key_type") == "string" and live:
-        b = df.agg(F.min(key).cast("string"), F.max(key).cast("string")).first()
-        lo, hi = b[0], b[1]
-        if lo is None:  # empty batch: nothing to rewrite or insert
-            cands = {}
-        else:
-            cands = {
-                cid: m for cid, m in live.items()
-                if not (m["key_max"] < lo or m["key_min"] > hi)
-            }
-    else:
-        cands = dict(live)
     chunks_dir = fsio.join(out_dir, "chunks")
     manifest_dir = fsio.join(out_dir, "manifest")
-    if cands:
+    if live:
         base = _next_rewrite_id(done)
-        rows = [
-            (int(cid), int(base + i), m["file"],
-             m.get("key_min", ""), m.get("key_max", ""))
-            for i, (cid, m) in enumerate(sorted(cands.items()))
-        ]
-        ivals = spark.createDataFrame(
-            rows, "old_id int, new_id int, file string, kmin string, kmax string"
-        )
-        keys = df.select(F.col(key).cast("string").alias("_k")).distinct()
-        if plan.get("key_type") == "string":
-            cond = (F.col("_k") >= F.col("kmin")) & (F.col("_k") <= F.col("kmax"))
-            pairs = keys.join(F.broadcast(ivals), cond)
-        else:
-            pairs = keys.crossJoin(F.broadcast(ivals))
+        pairs = _upsert_candidate_pairs(spark, df, key, key_type, plan, live, base)
         specs = pairs.groupBy("old_id", "new_id", "file").agg(
             F.collect_list("_k").alias("drop_keys")
         )
@@ -1191,10 +1264,18 @@ def upsert_rows(
                     table = pa.Table.from_arrays(
                         list(cols.values()), names=list(cols.keys())
                     )
-                    matched = pc.is_in(
-                        pc.cast(table.column(key), pa.string()),
-                        value_set=pa.array(row["drop_keys"], type=pa.string()),
-                    )
+                    target = table.column(key)
+                    if isinstance(target, pa.ChunkedArray):
+                        target = target.combine_chunks()
+                    # NATIVE-typed key match: the drop keys arrive in
+                    # the key column's own Arrow type (never through a
+                    # string rendering, whose Spark and Arrow forms
+                    # disagree for double '1.0'/'1' and timestamp
+                    # second/microsecond precision)
+                    vs = pa.array(row["drop_keys"])
+                    if vs.type != target.type:
+                        vs = vs.cast(target.type)
+                    matched = pc.is_in(target, value_set=vs)
                     keep = pc.invert(pc.fill_null(matched, False))
                     kept = table.filter(keep)
                     if kept.num_rows == table.num_rows:

@@ -1784,3 +1784,131 @@ class TestRound7Fixes:
         # a fresh generation above `top` opens a fresh zone
         top2 = 2 * GENERATION_STRIDE
         assert _next_rewrite_id({0, GENERATION_STRIDE - 1, top2}) == top2 + zone
+
+
+class TestUpsertTypedKeys:
+    """ADVICE r6 high + verdict r6 #2: upsert key matching runs in the
+    key's NATIVE type (double '1.0' vs Arrow '1' and timestamp
+    second-vs-microsecond renderings used to never match, silently
+    duplicating every updated key), and candidate pairing is
+    O(K - matching chunks) via the plan grid, never keys x chunks."""
+
+    def test_double_keyed_upsert_replaces_not_duplicates(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, upsert_rows,
+        )
+        out = str(tmp_path / "enc")
+        # whole-number doubles: Spark renders '1.0', Arrow casts to '1'
+        src = spark.range(200).select(
+            F.col("id").cast("double").alias("k"),
+            (F.col("id") * 10).cast("int").alias("v"),
+        )
+        encode_table(spark, src, out, key="k", n_chunks=4)
+        batch = spark.range(50).select(
+            F.col("id").cast("double").alias("k"),
+            F.lit(-1).cast("int").alias("v"),
+        )
+        upsert_rows(spark, batch, out, generation=1, gc=True)
+        dec = decode_table(spark, out)
+        assert dec.count() == 200  # updated keys replaced, NOT duplicated
+        assert dec.filter(F.col("v") == -1).count() == 50
+        assert dec.groupBy("k").count().filter("count > 1").count() == 0
+
+    def test_timestamp_keyed_upsert_replaces_not_duplicates(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, upsert_rows,
+        )
+        out = str(tmp_path / "enc")
+        # whole-second timestamps: Spark renders '... 12:00:00', Arrow
+        # '... 12:00:00.000000'
+        src = spark.range(120).select(
+            F.expr(
+                "timestamp'2024-01-01 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+            ).alias("k"),
+            F.col("id").cast("int").alias("v"),
+        )
+        encode_table(spark, src, out, key="k", n_chunks=3)
+        batch = spark.range(30).select(
+            F.expr(
+                "timestamp'2024-01-01 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+            ).alias("k"),
+            F.lit(-7).cast("int").alias("v"),
+        )
+        upsert_rows(spark, batch, out, generation=1, gc=True)
+        dec = decode_table(spark, out)
+        assert dec.count() == 120
+        assert dec.filter(F.col("v") == -7).count() == 30
+        assert dec.groupBy("k").count().filter("count > 1").count() == 0
+
+    def test_key_type_mismatch_raises(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, upsert_rows,
+        )
+        out = str(tmp_path / "enc")
+        src = spark.range(50).select(
+            F.col("id").cast("int").alias("k"), F.lit(1).alias("v")
+        )
+        encode_table(spark, src, out, key="k", n_chunks=2)
+        bad = spark.range(5).select(
+            F.col("id").cast("double").alias("k"), F.lit(2).alias("v")
+        )
+        with pytest.raises(ValueError, match="plan key"):
+            upsert_rows(spark, bad, out, generation=1)
+
+    def test_pair_count_is_grid_bounded_not_k_times_c(self, spark, tmp_path):
+        # verdict r6 #2 'done' criterion: on an int-keyed table the
+        # (key, candidate-chunk) pair count is O(K - matching chunks)
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            _next_rewrite_id, _upsert_candidate_pairs, encode_table,
+            live_chunks, scan_done_chunks,
+        )
+        from mojap_arrow_pd_parser_spark.sources import fsio
+        import json as _json
+
+        out = str(tmp_path / "enc")
+        src = spark.range(800).select(
+            F.col("id").cast("int").alias("k"), F.lit(1).alias("v")
+        )
+        encode_table(spark, src, out, key="k", n_chunks=8)
+        plan = _json.loads(open(f"{out}/plan.json").read())
+        done = scan_done_chunks(out)
+        live = live_chunks(done)
+        assert len(live) >= 6  # genuinely multi-chunk
+        batch = spark.range(10).select(F.col("id").cast("int").alias("k"))
+        pairs = _upsert_candidate_pairs(
+            spark, batch, "k", "int", plan, live, _next_rewrite_id(done)
+        )
+        n_pairs = pairs.count()
+        # keys 0..9 live in ONE grid chunk -> exactly K pairs, and the
+        # plan contains no nested-loop/cartesian join for the grid path
+        assert n_pairs == 10, n_pairs
+        assert pairs.select("old_id").distinct().count() == 1
+        explained = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in explained
+
+    def test_upsert_string_keys_still_exact_after_rewrite_zone(self, spark, tmp_path):
+        # a delete first (creates rewrite-zone chunks), then an upsert:
+        # both grid and interval paths must contribute candidates
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table, upsert_rows,
+        )
+        out = str(tmp_path / "enc")
+        src = tokens_table(spark, 400, seed=211)
+        encode_table(spark, src, out, n_chunks=4)
+        delete_rows(spark, out, ("n_tok", 100, 200), gc=True)
+        kept = src.filter(~F.col("n_tok").between(100, 200))
+        upd = (
+            kept.orderBy("doc_id").limit(40)
+            .withColumn(
+                "tokens",
+                F.transform("tokens", lambda x: F.pmod(x, F.lit(991)).cast("int")),
+            )
+            .withColumn("n_tok", F.size("tokens"))
+        )
+        upsert_rows(spark, upd, out, generation=1, gc=True)
+        want = kept.join(upd.select("doc_id"), "doc_id", "left_anti").unionAll(upd)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
