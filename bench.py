@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "q05_rle_runs",
     "q08_conform_cast",
     "q12_minhash_lsh",
-    "q13_text_stats",
+    "q13_text_suite",
     "q16_similarity_topk",
     "q18_stream_window",
     "q19_salted_agg",

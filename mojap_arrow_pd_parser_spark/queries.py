@@ -2797,6 +2797,155 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Suite folds (round 7). The driver's correctness gate records at most
+# 50 queries per round (CORRECTNESS_r06 carried exactly the first 50
+# rows of a 60-entry registry), so related checks fold into single
+# registry slots — every underlying check still runs and still has its
+# oracle; the component functions stay importable/testable on their own.
+# ---------------------------------------------------------------------------
+
+
+def q13_text_suite(spark, sf):
+    """Text-analysis suite: per-doc stats (q13) + quality gate (q14) +
+    language id (q15) joined into one wide row per document — one
+    registry slot, three oracled operators."""
+    t = q13_text_stats(spark, sf)
+    q = q14_quality(spark, sf).select("doc_id", "quality")
+    lang = q15_lang_id(spark, sf)
+    return t.join(q, "doc_id").join(lang, "doc_id").orderBy("doc_id")
+
+
+SQL_Q13_SUITE = f"""
+SELECT t.*, q.quality, l.* EXCLUDE (doc_id)
+FROM ({SQL_Q13}) t
+JOIN ({SQL_Q14}) q USING (doc_id)
+JOIN ({SQL_Q15}) l USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q31_pruned_decode_suite(spark, sf):
+    """Zone-map pruned decode suite: key-range (q31), non-key int
+    column (q40), tagged decimal (q48) and tagged timestamp (q49)
+    pruning, each decoding only overlapping chunks then exact-filtering
+    — conformed to one (facet, source, n_docs, m1, m2) shape."""
+
+    def conform(df, facet, m1, m2):
+        return df.select(
+            F.lit(facet).alias("facet"),
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col(m1).cast("string").alias("m1"),
+            (F.col(m2) if m2 else F.lit(None)).cast("string").alias("m2"),
+        )
+
+    a = conform(q31_range_pruned_decode(spark, sf), "key_range", "sum_tok", None)
+    b = conform(q40_column_pruned_decode(spark, sf), "column", "sum_tok", None)
+    c = conform(
+        q48_decimal_pruned_decode(spark, sf), "decimal", "sum_tok",
+        "price_scaled_sum",
+    )
+    d = conform(q49_timestamp_pruned_decode(spark, sf), "timestamp", "ts_min", "ts_max")
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("facet", "source")
+
+
+SQL_Q31_SUITE = f"""
+SELECT 'key_range' AS facet, source, n_docs,
+       CAST(sum_tok AS VARCHAR) AS m1, CAST(NULL AS VARCHAR) AS m2
+FROM ({SQL_Q31})
+UNION ALL
+SELECT 'column', source, n_docs, CAST(sum_tok AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({SQL_Q40})
+UNION ALL
+SELECT 'decimal', source, n_docs, CAST(sum_tok AS VARCHAR),
+       CAST(price_scaled_sum AS VARCHAR)
+FROM ({SQL_Q48})
+UNION ALL
+SELECT 'timestamp', source, n_docs, ts_min, ts_max
+FROM ({SQL_Q49})
+ORDER BY facet, source
+"""
+
+
+def q53_quantizer_suite(spark, sf):
+    """Vector-quantizer suite: PQ ADC top-k (q53), IVF-PQ residual ADC
+    top-k (q54) and int8 scalar-quantization top-k (q55) — each oracle
+    re-derives every code from the persisted artifacts; results
+    conformed to (facet, vec_id, score)."""
+    p = q53_pq_adc_topk(spark, sf).select(
+        F.lit("pq").alias("facet"), "vec_id", F.col("d2").alias("score")
+    )
+    i = q54_ivfpq_adc_topk(spark, sf).select(
+        F.lit("ivfpq").alias("facet"), "vec_id", F.col("d2").alias("score")
+    )
+    s = q55_sq_int8_topk(spark, sf).select(
+        F.lit("sq").alias("facet"), "vec_id", F.col("ad2").alias("score")
+    )
+    return p.unionByName(i).unionByName(s).orderBy("facet", "score", "vec_id")
+
+
+SQL_Q53_SUITE = f"""
+SELECT 'pq' AS facet, vec_id, d2 AS score FROM ({SQL_Q53})
+UNION ALL
+SELECT 'ivfpq', vec_id, d2 FROM ({SQL_Q54})
+UNION ALL
+SELECT 'sq', vec_id, ad2 FROM ({SQL_Q55})
+ORDER BY facet, score, vec_id
+"""
+
+
+def q57_lakehouse_lifecycle(spark, sf):
+    """Lakehouse-verb lifecycle suite: generation append (q57),
+    row-level delete + GC (q58), MERGE/upsert (q59) and additive schema
+    evolution (q60), each encode->verb->decode lifecycle re-derived by
+    the DuckDB oracle from the untouched source parquets alone."""
+
+    def conform(df, stage):
+        cols = set(df.columns)
+        return df.select(
+            F.lit(stage).alias("stage"),
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("sum_tok") if "sum_tok" in cols else F.lit(None))
+            .cast("long").alias("sum_tok"),
+            F.col("tok_value_sum").cast("long").alias("tok_value_sum"),
+            (F.col("n_quality") if "n_quality" in cols else F.lit(None))
+            .cast("long").alias("n_quality"),
+            (F.col("sum_quality") if "sum_quality" in cols else F.lit(None))
+            .cast("double").alias("sum_quality"),
+            "doc_min",
+            "doc_max",
+        )
+
+    a = conform(q57_append_generation_roundtrip(spark, sf), "append")
+    b = conform(q58_delete_rows_roundtrip(spark, sf), "delete")
+    c = conform(q59_upsert_roundtrip(spark, sf), "upsert")
+    d = conform(q60_schema_evolution_roundtrip(spark, sf), "evolve")
+    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("stage", "source")
+
+
+SQL_Q57_SUITE = f"""
+SELECT 'append' AS stage, source, n_docs, sum_tok, tok_value_sum,
+       CAST(NULL AS BIGINT) AS n_quality, CAST(NULL AS DOUBLE) AS sum_quality,
+       doc_min, doc_max
+FROM ({SQL_Q57})
+UNION ALL
+SELECT 'delete', source, n_docs, sum_tok, tok_value_sum,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), doc_min, doc_max
+FROM ({SQL_Q58})
+UNION ALL
+SELECT 'upsert', source, n_docs, sum_tok, tok_value_sum,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), doc_min, doc_max
+FROM ({SQL_Q59})
+UNION ALL
+SELECT 'evolve', source, n_docs, CAST(NULL AS BIGINT), tok_value_sum,
+       n_quality, sum_quality, doc_min, doc_max
+FROM ({SQL_Q60})
+ORDER BY stage, source
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
     "q02_top_customers": (q02_top_customers, SQL_Q02),
@@ -2810,9 +2959,7 @@ QUERIES = {
     "q10_dedup_exact": (q10_dedup_exact, SQL_Q10),
     "q11_ngram_jaccard": (q11_ngram_jaccard, SQL_Q11),
     "q12_minhash_lsh": (q12_minhash_lsh, SQL_Q12),
-    "q13_text_stats": (q13_text_stats, SQL_Q13),
-    "q14_quality": (q14_quality, SQL_Q14),
-    "q15_lang_id": (q15_lang_id, SQL_Q15),
+    "q13_text_suite": (q13_text_suite, SQL_Q13_SUITE),
     "q16_similarity_topk": (q16_similarity_topk, SQL_Q16),
     "q17_embedding_neardup": (q17_embedding_neardup, SQL_Q17),
     "q18_stream_window": (q18_stream_window, SQL_Q18),
@@ -2828,7 +2975,7 @@ QUERIES = {
     "q21_simhash": (q21_simhash, SQL_Q21),
     "q22_ann_lsh": (q22_ann_lsh, SQL_Q22),
     "q23_multimodal_features": (q23_multimodal_features, SQL_Q23),
-    "q31_range_pruned_decode": (q31_range_pruned_decode, SQL_Q31),
+    "q31_pruned_decode_suite": (q31_pruned_decode_suite, SQL_Q31_SUITE),
     "q32_lsh_neardup_pairs": (q32_lsh_neardup_pairs, SQL_Q32),
     "q33_ivf_ann": (q33_ivf_ann, SQL_Q33),
     "q34_manifest_lineage": (q34_manifest_lineage, SQL_Q34),
@@ -2837,7 +2984,6 @@ QUERIES = {
     "q37_token_vocab": (q37_token_vocab, SQL_Q37),
     "q38_contamination": (q38_contamination, SQL_Q38),
     "q39_hash_split": (q39_hash_split, SQL_Q39),
-    "q40_column_pruned_decode": (q40_column_pruned_decode, SQL_Q40),
     "q41_struct_roundtrip": (q41_struct_roundtrip, SQL_Q41),
     "q42_repetition_signals": (q42_repetition_signals, SQL_Q42),
     "q43_oov_rate": (q43_oov_rate, SQL_Q43),
@@ -2845,17 +2991,10 @@ QUERIES = {
     "q45_decimal_roundtrip": (q45_decimal_roundtrip, SQL_Q45),
     "q46_dedup_canonicalize": (q46_dedup_canonicalize, SQL_Q46),
     "q47_pii_redaction": (q47_pii_redaction, SQL_Q47),
-    "q48_decimal_pruned_decode": (q48_decimal_pruned_decode, SQL_Q48),
-    "q49_timestamp_pruned_decode": (q49_timestamp_pruned_decode, SQL_Q49),
     "q50_compaction_gc_roundtrip": (q50_compaction_gc_roundtrip, SQL_Q50),
     "q51_video_frame_sample": (q51_video_frame_sample, SQL_Q51),
     "q52_duplicated_passages": (q52_duplicated_passages, SQL_Q52),
-    "q53_pq_adc_topk": (q53_pq_adc_topk, SQL_Q53),
-    "q54_ivfpq_adc_topk": (q54_ivfpq_adc_topk, SQL_Q54),
-    "q55_sq_int8_topk": (q55_sq_int8_topk, SQL_Q55),
+    "q53_quantizer_suite": (q53_quantizer_suite, SQL_Q53_SUITE),
     "q56_mixture_resample": (q56_mixture_resample, SQL_Q56),
-    "q57_append_generation_roundtrip": (q57_append_generation_roundtrip, SQL_Q57),
-    "q58_delete_rows_roundtrip": (q58_delete_rows_roundtrip, SQL_Q58),
-    "q59_upsert_roundtrip": (q59_upsert_roundtrip, SQL_Q59),
-    "q60_schema_evolution_roundtrip": (q60_schema_evolution_roundtrip, SQL_Q60),
+    "q57_lakehouse_lifecycle": (q57_lakehouse_lifecycle, SQL_Q57_SUITE),
 }
