@@ -259,10 +259,64 @@ def _manifest_batch(m: dict) -> pa.Table:
     )
 
 
+def _visible_staging_dirs(out_dir: str, pending_ok: str | None = None) -> list[str]:
+    """Staged-sidecar directories a reader may see: one per COMMITTED
+    transaction token (``_commits/<token>.json`` present) plus, for the
+    transaction's own resume scans, the ``pending_ok`` token's dir.
+
+    Staged sidecars live under ``_staging/<token>/`` (siblings of
+    ``manifest/``), so every pre-existing scan is blind to them by
+    construction until the single commit-marker write flips the whole
+    transaction visible — the snapshot-isolation device
+    :func:`upsert_rows` uses so readers never observe its
+    deletes-before-inserts window."""
+    toks = set()
+    for fn, _sz in fsio.list_files(fsio.join(out_dir, "_commits")):
+        if fn.endswith(".json"):
+            toks.add(fn[:-5])
+    if pending_ok:
+        toks.add(pending_ok)
+    dirs = []
+    for tok in sorted(toks):
+        d = fsio.join(out_dir, "_staging", tok)
+        if fsio.list_files(d):
+            dirs.append(d)
+    return dirs
+
+
+def _fold_committed_staging(out_dir: str) -> None:
+    """Migrate every COMMITTED transaction's staged sidecars into
+    ``manifest/`` and drop its marker, so steady-state scans never pay
+    per-transaction directory listings. Crash-safe at any point: a
+    sidecar present in both places reads identically (scans key by
+    chunk_id), the marker is deleted only after every staged sidecar
+    is durable in ``manifest/``, and a re-run completes any partial
+    migration."""
+    commits = fsio.join(out_dir, "_commits")
+    manifest_dir = fsio.join(out_dir, "manifest")
+    for fn, _sz in fsio.list_files(commits):
+        if not fn.endswith(".json"):
+            continue
+        sdir = fsio.join(out_dir, "_staging", fn[:-5])
+        for sfn, _s in fsio.list_files(sdir):
+            if not sfn.endswith(".json"):
+                continue
+            fsio.write_json_atomic(
+                fsio.join(manifest_dir, sfn),
+                fsio.read_json(fsio.join(sdir, sfn)),
+            )
+            fs, p = fsio.resolve(fsio.join(sdir, sfn))
+            fs.delete_file(p)
+        fs, p = fsio.resolve(fsio.join(commits, fn))
+        fs.delete_file(p)
+        fsio.delete_dir(sdir)
+
+
 def scan_done_chunks(
     out_dir: str,
     spark: SparkSession | None = None,
     columns: tuple[str, ...] | None = None,
+    pending_ok: str | None = None,
 ) -> dict[int, dict]:
     """Read manifest sidecars; keep only entries whose chunk file verifies.
 
@@ -280,7 +334,7 @@ def scan_done_chunks(
     """
     return {
         cid: {k: v for k, v in m.items() if k != "_verified"}
-        for cid, m in scan_sidecars(out_dir, spark, columns).items()
+        for cid, m in scan_sidecars(out_dir, spark, columns, pending_ok).items()
         if m["_verified"]
     }
 
@@ -310,6 +364,7 @@ def scan_sidecars(
     out_dir: str,
     spark: SparkSession | None = None,
     columns: tuple[str, ...] | None = None,
+    pending_ok: str | None = None,
 ) -> dict[int, dict]:
     """All parseable sidecars with a ``_verified`` flag (chunk file
     present at the recorded size). Readers use this to tell a DAMAGED
@@ -329,18 +384,26 @@ def scan_sidecars(
     verification/lineage fields — the DataFrame is projected BEFORE
     the collect, so unrequested payloads (``col_stats`` above all)
     never reach the driver.
+
+    ``pending_ok`` additionally exposes that transaction token's
+    STAGED sidecars (``_staging/<token>/``); committed tokens'
+    staging dirs are always visible (see :func:`_visible_staging_dirs`).
     """
-    names = [
-        fn for fn, _sz in fsio.list_files(fsio.join(out_dir, "manifest"))
+    dirs = [fsio.join(out_dir, "manifest")]
+    dirs += _visible_staging_dirs(out_dir, pending_ok)
+    entries = [
+        (d, fn)
+        for d in dirs
+        for fn, _sz in fsio.list_files(d)
         if fn.endswith(".json")
     ]
-    if spark is not None and len(names) >= _DISTRIBUTED_SCAN_MIN:
-        return _scan_sidecars_distributed(spark, out_dir, columns)
+    if spark is not None and len(entries) >= _DISTRIBUTED_SCAN_MIN:
+        return _scan_sidecars_distributed(spark, out_dir, columns, pending_ok)
     keep = None if columns is None else set(_SIDECAR_CORE_FIELDS) | set(columns)
     out: dict[int, dict] = {}
-    for fn in names:
+    for d, fn in entries:
         try:
-            m = fsio.read_json(fsio.join(out_dir, "manifest", fn))
+            m = fsio.read_json(fsio.join(d, fn))
             m["_verified"] = (
                 fsio.file_size(fsio.join(out_dir, "chunks", m["file"]))
                 == m["file_bytes"]
@@ -353,7 +416,9 @@ def scan_sidecars(
     return out
 
 
-def _sidecar_df(spark: SparkSession, out_dir: str) -> DataFrame:
+def _sidecar_df(
+    spark: SparkSession, out_dir: str, pending_ok: str | None = None
+) -> DataFrame:
     """Sidecar rows as one DataFrame (SIDECAR_DF_SCHEMA), malformed
     rows filtered: ``spark.read.json`` when the JVM can reach the
     scheme, else a mapInArrow fan-out whose tasks read the JSONs via
@@ -361,14 +426,19 @@ def _sidecar_df(spark: SparkSession, out_dir: str) -> DataFrame:
     handles s3:// credentials for chunk files. The file_bytes
     null-filter matters on both paths: a sidecar without a recorded
     size is malformed (the serial loop's KeyError skip) and must not
-    verify a MISSING chunk file via None == None."""
+    verify a MISSING chunk file via None == None. Committed (and
+    ``pending_ok``) staging dirs are read alongside ``manifest/``;
+    consumers dedupe on chunk_id (a mid-migration sidecar may appear
+    in both, with identical content)."""
     manifest_dir = fsio.join(out_dir, "manifest")
+    dirs = [manifest_dir] + _visible_staging_dirs(out_dir, pending_ok)
     if jvm_handles_scheme(spark, manifest_dir):
-        sdf = spark.read.schema(SIDECAR_DF_SCHEMA).json(manifest_dir)
+        sdf = spark.read.schema(SIDECAR_DF_SCHEMA).json(dirs)
     else:
         paths = [
-            fsio.join(manifest_dir, fn)
-            for fn, _sz in fsio.list_files(manifest_dir)
+            fsio.join(d, fn)
+            for d in dirs
+            for fn, _sz in fsio.list_files(d)
             if fn.endswith(".json")
         ]
         sdf = _read_sidecars_arrow(spark, paths)
@@ -435,11 +505,12 @@ def _scan_sidecars_distributed(
     spark: SparkSession,
     out_dir: str,
     columns: tuple[str, ...] | None = None,
+    pending_ok: str | None = None,
 ) -> dict[int, dict]:
     """Sidecar scan as one distributed JSON read + one chunk-dir
     listing. ``columns`` (see :func:`scan_sidecars`) is applied as a
     DataFrame projection BEFORE the collect."""
-    sdf = _sidecar_df(spark, out_dir)
+    sdf = _sidecar_df(spark, out_dir, pending_ok)
     if columns is not None:
         proj = [
             f for f in sdf.columns
@@ -499,6 +570,7 @@ def encode_table(
     consolidate: bool = True,
     partition_col: str | None = None,
     chunk_base: int = 0,
+    pending: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
@@ -517,9 +589,22 @@ def encode_table(
     buckets for done work, while a rerun with the SAME base keeps the
     crash-resume semantics. Use :func:`encode_append` (batch) or let
     the streaming sink derive it from the epoch id.
+
+    ``pending`` stages this run's sidecars under ``_staging/<token>/``
+    instead of ``manifest/`` — invisible to every reader until the
+    transaction's single commit-marker write (see :func:`upsert_rows`);
+    the resume scan passes the token through so a same-token rerun
+    still skips its durable chunks. Consolidation is deferred to the
+    transaction commit.
     """
     fsio.makedirs(fsio.join(out_dir, "chunks"))
     fsio.makedirs(fsio.join(out_dir, "manifest"))
+    sidecar_dir = (
+        fsio.join(out_dir, "_staging", pending) if pending
+        else fsio.join(out_dir, "manifest")
+    )
+    if pending:
+        fsio.makedirs(sidecar_dir)
     plan = load_or_make_plan(
         spark, df, out_dir, key, n_chunks, seed=seed, partition_col=partition_col
     )
@@ -547,14 +632,16 @@ def encode_table(
         # generations never mistake each other's buckets for done work
         done = sorted(
             cid
-            for cid in done_chunk_ids(scan_done_chunks(out_dir, spark, columns=()))
+            for cid in done_chunk_ids(
+                scan_done_chunks(out_dir, spark, columns=(), pending_ok=pending)
+            )
             if chunk_base <= cid < chunk_base + n_buckets
         )
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
 
     chunks_dir = fsio.join(out_dir, "chunks")
-    manifest_dir = fsio.join(out_dir, "manifest")
+    manifest_dir = sidecar_dir
 
     def encode_partition(batches):
         """mapInArrow task body: batches arrive bucket-contiguous (the
@@ -589,6 +676,11 @@ def encode_table(
         .sortWithinPartitions("_bucket")
         .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
     )
+    if pending:
+        # mid-transaction: materialize the staged encode, but defer
+        # consolidation to the commit (staged sidecars are invisible)
+        mdf.count()
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
     return _finish_encode(spark, mdf, out_dir, consolidate)
 
 
@@ -664,6 +756,7 @@ def encode_append(
     resume: bool = True,
     consolidate: bool = True,
     allow_schema_evolution: bool = False,
+    pending: str | None = None,
 ) -> DataFrame:
     """Append a new batch of rows to an EXISTING encoded table — the
     incremental-ingest action (daily drops, CDC batches, stream
@@ -709,6 +802,7 @@ def encode_append(
         resume=resume, consolidate=consolidate,
         partition_col=plan.get("partition_col"),
         chunk_base=int(generation) * GENERATION_STRIDE,
+        pending=pending,
     )
 
 
@@ -733,7 +827,7 @@ def _live_manifest_df(spark, out_dir) -> DataFrame:
     exploded anti-join instead of a driver-side set. Projected to the
     MANIFEST_SCHEMA columns, so col_stats JSON never leaves the
     executors."""
-    sdf = _sidecar_df(spark, out_dir)
+    sdf = _sidecar_df(spark, out_dir).dropDuplicates(["chunk_id"])
     sizes = spark.createDataFrame(
         [(fn, int(sz))
          for fn, sz in fsio.list_files(fsio.join(out_dir, "chunks"))]
@@ -1256,17 +1350,33 @@ def upsert_rows(
     2. **Insert**: :func:`encode_append` of the whole batch under
        ``generation``.
 
-    Retrying the same (df, generation) converges: phase 1 excludes the
-    generation's OWN bucket range (else the retry would re-drop the
-    rows its first attempt inserted, which append-resume won't
-    re-encode), earlier generations' matches are already gone (skip),
-    and phase 2 resumes its durable chunks. The two
-    phases are NOT one atomic snapshot — a reader between them sees
-    the deletes before the inserts (documented read-uncommitted window;
-    the crash leaves a retriable, never-duplicated state). Batch keys
-    must be unique within ``df``.
+    The two phases form ONE atomic snapshot: every sidecar both phases
+    write is STAGED under ``_staging/g<generation>/`` (invisible to all
+    readers), and one commit-marker write (``_commits/g<generation>.
+    json``) flips the whole transaction visible at once — a reader at
+    any point observes either the pre-upsert table or the fully-merged
+    table, never deletes-without-inserts or inserts-without-deletes.
+    After the commit the staged sidecars migrate into ``manifest/``
+    (:func:`_fold_committed_staging`; crash-safe, re-entrant).
+
+    Retrying the same (df, generation) converges: an UNCOMMITTED
+    crashed attempt's staging dir is reset (its sidecars were invisible
+    and unreferenced) and the transaction re-derives from the live
+    view; a COMMITTED generation's replay folds the prior migration,
+    rewrites nothing (the keys are already gone) and append-resumes to
+    a no-op. Batch keys must be unique within ``df``.
     """
     import pyarrow.parquet as _pq  # noqa: F401 (worker import check)
+
+    token = f"g{int(generation)}"
+    commit_path = fsio.join(out_dir, "_commits", f"{token}.json")
+    committed = fsio.exists(commit_path)
+    # finish any prior transaction's partial sidecar migration first
+    _fold_committed_staging(out_dir)
+    if not committed:
+        # crashed UNCOMMITTED attempt: staged sidecars are invisible
+        # and unreferenced — reset and re-derive from the live view
+        fsio.delete_dir(fsio.join(out_dir, "_staging", token))
 
     plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
     key = plan["key"]
@@ -1289,7 +1399,8 @@ def upsert_rows(
         if not (gen_lo <= cid < gen_hi)
     }
     chunks_dir = fsio.join(out_dir, "chunks")
-    manifest_dir = fsio.join(out_dir, "manifest")
+    manifest_dir = fsio.join(out_dir, "_staging", token)
+    fsio.makedirs(manifest_dir)
     if live:
         base = _next_rewrite_id(done)
         pairs = _upsert_candidate_pairs(spark, df, key, key_type, plan, live, base)
@@ -1354,10 +1465,17 @@ def upsert_rows(
             mdf = specs.repartition(
                 min(n_spec, spark.sparkContext.defaultParallelism)
             ).mapInArrow(rewrite, schema=MANIFEST_SCHEMA)
-            _finish_encode(spark, mdf, out_dir, consolidate=False)
+            mdf.count()  # materialize the staged rewrites
 
-    result = encode_append(
-        spark, df, out_dir, generation, consolidate=consolidate
+    encode_append(
+        spark, df, out_dir, generation, consolidate=False, pending=token
+    )
+    # COMMIT: one atomic marker write flips rewrites + inserts visible
+    fsio.makedirs(fsio.join(out_dir, "_commits"))
+    fsio.write_json_atomic(commit_path, {"generation": int(generation)})
+    _fold_committed_staging(out_dir)
+    result = _finish_encode(
+        spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
     )
     if gc:
         gc_superseded(out_dir, spark)

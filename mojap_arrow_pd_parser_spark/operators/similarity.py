@@ -452,19 +452,37 @@ def pq_fit(
 ) -> np.ndarray:
     """Train the (m, k, d/m) PQ codebooks on a deterministic sample.
 
-    The sample is the ``sample_rows`` lowest-id vectors (Spark executes
-    orderBy+limit as a per-partition partial top-k, so this never sorts
-    the corpus); Lloyd runs per subspace on the driver with seeded
-    init, ties to the lowest codeword, empty clusters keeping their
-    previous centroid — fully deterministic for a given (df, seed), so
-    callers can persist the codebooks and every downstream code is
-    re-derivable (the q33 centroid-artifact pattern).
+    The sample is HASH-ORDERED (the ``sample_rows`` lowest
+    ``md5(id)`` vectors — Spark executes orderBy+limit as a
+    per-partition partial top-k, so this never sorts the corpus):
+    deterministic like a lowest-id sample, but unbiased when ids
+    correlate with source/time (a sorted corpus would otherwise train
+    the codebooks on one shard of the distribution — the
+    stratified-sample trick from operators/sampling.py). Lloyd runs
+    per subspace on the driver with seeded init, ties to the lowest
+    codeword, empty clusters keeping their previous centroid — fully
+    deterministic for a given (df, seed), so callers can persist the
+    codebooks and every downstream code is re-derivable (the q33
+    centroid-artifact pattern).
     """
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    )
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = _hash_order_sample(df, id_col, vec_col, sample_rows)
     return _lloyd_codebooks(mat, m, k, iters, seed)
+
+
+def _hash_order_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """Deterministic, order-unbiased training sample: the
+    ``sample_rows`` vectors whose ``md5(id)`` sorts lowest (id as the
+    tie-break). A pure function of the id SET — identical across
+    re-runs, partitionings and engines."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_rows)
+        .collect()
+    )
+    return np.array([r[1] for r in rows], dtype=np.float64)
 
 
 def _lloyd_codebooks(
@@ -670,13 +688,11 @@ def ivfpq_fit(
     seed: int = 42,
 ) -> np.ndarray:
     """Train (m, k, d/m) codebooks on coarse-quantizer RESIDUALS of a
-    deterministic sample (same sampling + Lloyd as :func:`pq_fit`, so
-    the artifact-persistence story is identical)."""
+    deterministic sample (same hash-ordered sampling + Lloyd as
+    :func:`pq_fit`, so the artifact-persistence story is identical
+    and a source-sorted corpus cannot bias the codebooks)."""
     cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
-    )
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = _hash_order_sample(df, id_col, vec_col, sample_rows)
     d = cent @ mat.T  # not distances; do the proper argmin below
     cc = (cent * cent).sum(axis=1)  # (nlist,)
     assign = np.argmin(cc[:, None] - 2.0 * d, axis=0)  # (n,)

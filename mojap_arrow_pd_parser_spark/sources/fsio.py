@@ -108,6 +108,16 @@ def exists(path: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory; missing directories are a no-op
+    (crash-retry cleanups must be idempotent)."""
+    fs, p = resolve(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def file_size(path: str) -> int | None:
     fs, p = resolve(path)
     info = fs.get_file_info(p)

@@ -1912,3 +1912,161 @@ class TestUpsertTypedKeys:
         upsert_rows(spark, upd, out, generation=1, gc=True)
         want = kept.join(upd.select("doc_id"), "doc_id", "left_anti").unionAll(upd)
         assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+
+class TestUpsertSnapshot:
+    """Verdict r6 #8: upsert is ONE atomic snapshot — staged sidecars
+    + a single commit marker. A reader at any point sees either the
+    old or the new table, never the mixed (deletes-before-inserts or
+    inserts-before-deletes) state."""
+
+    def _digest(self, spark, out):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        rows = decode_table(spark, out).select("doc_id", "n_tok").collect()
+        return sorted((r.doc_id, r.n_tok) for r in rows)
+
+    def _setup(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.datagen import tokens_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+        out = str(tmp_path / "enc")
+        src = tokens_table(spark, 300, seed=221)
+        encode_table(spark, src, out, n_chunks=4)
+        batch = (
+            src.orderBy("doc_id").limit(50)
+            .withColumn("tokens", F.slice("tokens", 1, 3))
+            .withColumn("n_tok", F.size("tokens"))
+        )
+        return src, batch, out
+
+    def test_reader_between_phases_sees_old_snapshot(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mojap_arrow_pd_parser_spark.operators import encode as em
+        src, batch, out = self._setup(spark, tmp_path)
+        before = self._digest(spark, out)
+        seen = {}
+        real_append = em.encode_append
+
+        def spy_append(*a, **kw):
+            # reader BETWEEN phase 1 (rewrites staged) and phase 2
+            seen["mid"] = self._digest(spark, out)
+            return real_append(*a, **kw)
+
+        monkeypatch.setattr(em, "encode_append", spy_append)
+        # also observe between phase 2 and the commit-marker write
+        real_write = em.fsio.write_json_atomic
+
+        def spy_write(path, obj):
+            if "_commits/" in path and "precommit" not in seen:
+                seen["precommit"] = self._digest(spark, out)
+            return real_write(path, obj)
+
+        monkeypatch.setattr(em.fsio, "write_json_atomic", spy_write)
+        em.upsert_rows(spark, batch, out, generation=1)
+        monkeypatch.undo()
+        after = self._digest(spark, out)
+        want = sorted(
+            [(r.doc_id, r.n_tok) for r in
+             src.join(batch.select("doc_id"), "doc_id", "left_anti")
+             .select("doc_id", "n_tok").collect()]
+            + [(r.doc_id, r.n_tok) for r in batch.select("doc_id", "n_tok").collect()]
+        )
+        assert seen["mid"] == before        # rewrites staged, invisible
+        assert seen["precommit"] == before  # inserts staged, invisible
+        assert after == want                # one flip at the commit
+
+    def test_crash_before_commit_leaves_old_snapshot_then_retry_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mojap_arrow_pd_parser_spark.operators import encode as em
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        src, batch, out = self._setup(spark, tmp_path)
+        before = self._digest(spark, out)
+        real_append = em.encode_append
+
+        def crash_append(*a, **kw):
+            real_append(*a, **kw)  # phase 2 fully staged...
+            raise RuntimeError("simulated crash before commit")
+
+        monkeypatch.setattr(em, "encode_append", crash_append)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            em.upsert_rows(spark, batch, out, generation=1)
+        monkeypatch.undo()
+        # uncommitted: reader still sees the OLD table exactly
+        assert self._digest(spark, out) == before
+        # retry converges to the merged table
+        em.upsert_rows(spark, batch, out, generation=1, gc=True)
+        want = src.join(batch.select("doc_id"), "doc_id", "left_anti").unionAll(batch)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+
+    def test_committed_replay_is_noop(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import encode as em
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        src, batch, out = self._setup(spark, tmp_path)
+        em.upsert_rows(spark, batch, out, generation=1)
+        after = self._digest(spark, out)
+        em.upsert_rows(spark, batch, out, generation=1)  # full replay
+        assert self._digest(spark, out) == after
+        want = src.join(batch.select("doc_id"), "doc_id", "left_anti").unionAll(batch)
+        assert verify_roundtrip(spark, want, out)["mismatches"] == 0
+        # staging folded away, no markers left behind
+        import os
+        assert not os.path.exists(f"{out}/_staging") or not any(
+            os.scandir(f"{out}/_staging")
+        )
+        assert not any(
+            f.endswith(".json") for f in os.listdir(f"{out}/_commits")
+        )
+
+
+class TestQuantizerSampleDebias:
+    """Verdict r6 #6: pq_fit/ivfpq_fit train on a HASH-ORDERED sample.
+    On a source-sorted corpus the old lowest-id sample saw only the
+    first shard of the distribution; the hash-order sample keeps
+    determinism (pure function of the id set) and kills the bias."""
+
+    def _sorted_corpus(self, spark):
+        # ids < 200 are cluster A (+5 on axis 0), ids >= 200 cluster B
+        # (-5 on axis 0): a lowest-id half-sample sees ONLY cluster A
+        import numpy as np
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(400):
+            base = np.zeros(16)
+            base[0] = 5.0 if i < 200 else -5.0
+            v = base + rng.normal(0, 0.05, 16)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), rows
+
+    @staticmethod
+    def _distortion(books, mat):
+        import numpy as np
+        from mojap_arrow_pd_parser_spark.operators.similarity import _pq_split
+        subs = _pq_split(mat, books.shape[0])
+        tot = 0.0
+        for s in range(books.shape[0]):
+            d2 = ((subs[:, s, :, None] - books[s].T[None, :, :]) ** 2).sum(axis=1)
+            tot += d2.min(axis=1).sum()
+        return tot / mat.shape[0]
+
+    def test_sorted_corpus_trains_unbiased_codebooks(self, spark):
+        import numpy as np
+        from mojap_arrow_pd_parser_spark.operators import similarity as sim
+        df, rows = self._sorted_corpus(spark)
+        full = np.array([r[1] for r in rows], dtype=np.float64)
+        # the OLD biased scheme: lowest-id half = cluster A only
+        biased = sim._lloyd_codebooks(full[:200], m=4, k=4, iters=15, seed=42)
+        books = sim.pq_fit(df, m=4, k=4, sample_rows=200, seed=42)
+        d_new = self._distortion(books, full)
+        d_old = self._distortion(biased, full)
+        assert d_new < 0.5 * d_old, (d_new, d_old)
+
+    def test_hash_order_sample_is_partitioning_invariant(self, spark):
+        import numpy as np
+        from mojap_arrow_pd_parser_spark.operators import similarity as sim
+        df, _ = self._sorted_corpus(spark)
+        b1 = sim.pq_fit(df, m=4, k=4, sample_rows=150, seed=42)
+        b2 = sim.pq_fit(df.repartition(7), m=4, k=4, sample_rows=150, seed=42)
+        b3 = sim.pq_fit(df.orderBy(F.desc("vec_id")), m=4, k=4,
+                        sample_rows=150, seed=42)
+        assert np.array_equal(b1, b2) and np.array_equal(b1, b3)
