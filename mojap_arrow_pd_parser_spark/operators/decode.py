@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import zlib
 
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +40,9 @@ def decode_table(
     columns: list[str] | None = None,
     verify_checksums: bool = True,
     key_range: tuple | None = None,
-    where: tuple | None = None,
+    where: tuple | list | None = None,
+    key_in: list | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Decode an encoded table back to its original schema (lazy).
 
@@ -60,37 +63,60 @@ def decode_table(
     decode. Pruning only fires when the recorded bounds and the query
     bounds are the same type family (numeric-to-numeric or
     string-to-string) — chunks without comparable stats decode
-    normally and rely on the row filter.
+    normally and rely on the row filter. A LIST of (col, lo, hi)
+    triples is a CONJUNCTION: each predicate prunes independently
+    (a chunk survives only if every predicate may match) and the row
+    filters AND together.
+
+    ``key_in=[v, ...]`` is the POINT-LOOKUP path: chunks are kept only
+    if some probe value lands inside the chunk's typed key zone map
+    AND passes its key Bloom filter (functions/bloom.py) — on tables
+    whose chunks overlap in key range (appended generations, salted
+    tables) the bloom prunes what min-max can't. Exact ``isin`` row
+    filter after decode; correctness never depends on the filter.
+
+    ``as_of=version`` TIME-TRAVELS: the chunk membership comes from
+    that retained snapshot (operators/snapshots.py) instead of the
+    current live view, so the decode reproduces the table exactly as
+    of that committed version — deletes/upserts/compactions since are
+    invisible. Requires the table to track snapshots and the version
+    to not be expired; zone-map/bloom pruning applies as usual.
     """
     plan = load_plan(out_dir)
+    wheres = _norm_wheres(where)
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
     key = plan.get("key")
-    key_added = key_range is not None and key and key not in names
+    key_added = (
+        (key_range is not None or key_in is not None)
+        and key and key not in names
+    )
     if key_added:
         names = list(names) + [key]  # needed for the row-level filter
-    where_added = where is not None and where[0] not in names
-    if where_added:
-        names = list(names) + [where[0]]
+    where_added = list(dict.fromkeys(
+        w[0] for w in wheres if w[0] not in names
+    ))
+    names = list(names) + where_added
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
 
-    # Manifest-driven file list (live view): compaction-superseded
-    # chunks and stray files are invisible; key_range/where prune via
-    # the per-chunk zone maps. A LIVE sidecar whose chunk file is
+    # Manifest-driven file list (live view, or the as_of snapshot's
+    # membership): compaction-superseded chunks and stray files are
+    # invisible; key_range/where/key_in prune via the per-chunk zone
+    # maps + bloom filters. A LIVE sidecar whose chunk file is
     # missing or size-mismatched is table damage — fail loudly
     # instead of silently returning fewer rows.
-    keep_files = _live_pruned_files(spark, out_dir, plan, key_range, where)
+    keep_files = _live_pruned_files(
+        spark, out_dir, plan, key_range, wheres, key_in=key_in, as_of=as_of
+    )
     if keep_files is not None:
         if not keep_files:
             # Match the non-empty path's final schema: columns pulled
             # in only for the key_range/where row filter are dropped
             # there, so they must not appear here either — otherwise
             # downstream unions/writes would see a data-dependent schema.
-            dropped = set()
+            dropped = set(where_added)
             if key_added:
                 dropped.add(key)
-            if where_added:
-                dropped.add(where[0])
             empty_schema = StructType(
                 [f for f in out_schema.fields if f.name not in dropped]
             )
@@ -123,16 +149,34 @@ def decode_table(
         enc = _read_enc_rows_arrow(spark, paths, names)
 
     decoded = decode_rows_df(enc, out_schema, verify_checksums)
-    if key_range is not None and key in [f.name for f in out_schema.fields]:
+    have = [f.name for f in out_schema.fields]
+    if key_range is not None and key in have:
         decoded = decoded.filter(F.col(key).between(key_range[0], key_range[1]))
-        if key_added:  # the key was only pulled in for the filter
-            decoded = decoded.drop(key)
-    if where is not None:
-        col, lo, hi = where
+    if key_in is not None and key in have:
+        decoded = decoded.filter(F.col(key).isin(list(key_in)))
+    if key_added:  # the key was only pulled in for the filter
+        decoded = decoded.drop(key)
+    for col, lo, hi in wheres:
         decoded = decoded.filter(F.col(col).between(lo, hi))
-        if where_added:  # the column was only pulled in for the filter
-            decoded = decoded.drop(col)
+    for col in where_added:  # columns pulled in only for the filter
+        decoded = decoded.drop(col)
     return decoded
+
+
+def _norm_wheres(where) -> list[tuple]:
+    """Normalize the ``where`` argument: None -> [], a single
+    (col, lo, hi) triple -> [triple], a list of triples -> itself
+    (each element validated)."""
+    if where is None:
+        return []
+    if isinstance(where, tuple):
+        where = [where]
+    out = []
+    for w in where:
+        if len(w) != 3:
+            raise ValueError(f"where predicate must be (col, lo, hi): {w!r}")
+        out.append((w[0], w[1], w[2]))
+    return out
 
 
 #: projection of a chunk file the decode consumes (codec/n_rows/...
@@ -187,28 +231,53 @@ def _read_enc_rows_arrow(
     return fdf.mapInArrow(read_files, schema=_ENC_ROWS_SCHEMA)
 
 
+def _key_probe_hashes(plan: dict, key_in: list):
+    """Precomputed (h1, h2) bloom probe hashes for the key_in values,
+    or None when the plan key's type has no bloom support (probe and
+    build MUST agree on the hash input dtype — functions/bloom.py)."""
+    from ..functions import bloom as _bloom
+
+    kind = _bloom.key_kind(str(plan.get("key_type") or ""))
+    if kind is None:
+        return None
+    vals = [v for v in key_in if v is not None]
+    if not vals:
+        return None
+    try:
+        return _bloom.probe_hashes(vals, kind)
+    except (TypeError, ValueError):
+        return None  # e.g. non-int values against an int key: no bloom
+
+
 def _live_pruned_files(
     spark: SparkSession,
     out_dir: str,
     plan: dict,
     key_range: tuple | None,
-    where: tuple | None,
+    where: tuple | list | None,
+    key_in: list | None = None,
+    as_of: int | None = None,
 ) -> list[str] | None:
-    """LIVE chunk file names surviving zone-map pruning, or ``None``
-    when the table has no usable sidecars (foreign writer -> caller
-    falls back to a directory read). Raises ``IOError`` on damage
-    (any live sidecar whose chunk file is absent/size-mismatched —
-    checked BEFORE pruning, so a damaged table never half-answers).
+    """LIVE chunk file names surviving zone-map/bloom pruning — or,
+    with ``as_of``, the SNAPSHOT's members — or ``None`` when the
+    table has no usable sidecars (foreign writer -> caller falls back
+    to a directory read). Raises ``IOError`` on damage (any selected
+    sidecar whose chunk file is absent/size-mismatched — checked
+    BEFORE pruning, so a damaged table never half-answers) and on a
+    snapshot member whose sidecar is gone (expired out from under the
+    reader).
 
     Above ``_DISTRIBUTED_SCAN_MIN`` sidecars the whole thing runs as
     ONE Spark job over the sidecar JSON: verification join against a
-    single chunk-dir listing, compaction anti-join, and the
-    key/col_stats zone-map filters — the driver materializes ONLY the
+    single chunk-dir listing, compaction anti-join (or snapshot
+    membership semi-join for ``as_of``), and the key/col_stats
+    zone-map + bloom filters — the driver materializes ONLY the
     surviving file names (plus one aggregate row), never the per-chunk
-    ``col_stats`` payloads. A 100-TB table (~400k sidecars) ships a
-    few MB of file names through the driver instead of hundreds of MB
-    of sidecar JSON.
+    ``col_stats``/``key_bloom`` payloads. A 100-TB table (~400k
+    sidecars) ships a few MB of file names through the driver instead
+    of hundreds of MB of sidecar JSON.
     """
+    from ..functions import bloom as _bloom
     from .encode import (
         _DISTRIBUTED_SCAN_MIN,
         _sidecar_df,
@@ -216,21 +285,46 @@ def _live_pruned_files(
         scan_sidecars,
     )
 
+    wheres = _norm_wheres(where)
+    key = plan.get("key")
+    # NULL probe values can't match any row (SQL IN semantics) and
+    # would break the sort — drop them before pruning
+    in_vals = (
+        sorted({v for v in key_in if v is not None}) if key_in else None
+    )
+    probes = _key_probe_hashes(plan, in_vals) if in_vals else None
+
     manifest_dir = fsio.join(out_dir, "manifest")
     names = [
         fn for fn, _sz in fsio.list_files(manifest_dir) if fn.endswith(".json")
     ]
     if spark is None or len(names) < _DISTRIBUTED_SCAN_MIN:
-        live = live_chunks(scan_sidecars(out_dir))
+        side = scan_sidecars(out_dir)
+        if as_of is not None:
+            from .snapshots import read_snapshot_arrow
+
+            snap_ids = set(
+                read_snapshot_arrow(out_dir, as_of).column("chunk_id").to_pylist()
+            )
+            live = {cid: m for cid, m in side.items() if cid in snap_ids}
+            gone = snap_ids - set(live)
+            if gone:
+                raise IOError(
+                    f"snapshot v{as_of} at {out_dir!r} references chunks "
+                    f"whose sidecars are gone (GC raced an expired "
+                    f"snapshot?): {sorted(gone)[:20]}"
+                )
+        else:
+            live = live_chunks(side)
         if not live:
-            return None
+            return None if as_of is None else []
         bad = [cid for cid, m in live.items() if not m["_verified"]]
         if bad:
             raise IOError(
                 f"encoded table at {out_dir!r} is damaged or incomplete: "
                 f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
             )
-        keep = live.values()
+        keep = list(live.values())
         # Prune ONLY when the plan explicitly recorded a string key:
         # manifest key_min/key_max compare lexicographically, which is
         # wrong for numeric keys ('9' > '100') — those decode all
@@ -241,8 +335,27 @@ def _live_pruned_files(
                 m for m in keep
                 if not (m["key_max"] < str(lo) or m["key_min"] > str(hi))
             ]
-        if where is not None:
-            keep = [m for m in keep if _col_stats_overlap(m, where)]
+        for w in wheres:
+            keep = [m for m in keep if _col_stats_overlap(m, w)]
+        if in_vals:
+            if len(in_vals) <= _KEY_IN_EXPR_MAX:
+                keep = [
+                    m for m in keep
+                    if any(_col_stats_overlap(m, (key, v, v)) for v in in_vals)
+                ]
+            else:
+                keep = [
+                    m for m in keep
+                    if _col_stats_overlap(m, (key, in_vals[0], in_vals[-1]))
+                ]
+            if probes is not None:
+                h1, h2 = probes
+                keep = [
+                    m for m in keep
+                    if _bloom.maybe_contains_any(
+                        _parse_bloom(m.get("key_bloom")), h1, h2
+                    )
+                ]
         return [m["file"] for m in keep]
 
     # _sidecar_df applies the malformed-sidecar skips and falls back
@@ -250,20 +363,31 @@ def _live_pruned_files(
     # scheme (s3:// without hadoop-aws) — decode keeps its scale shape
     # on object stores either way
     sdf = _sidecar_df(spark, out_dir).dropDuplicates(["chunk_id"])
-    # live view: drop chunks superseded by a compacted chunk
-    replaced = sdf.select(F.explode("replaces").alias("chunk_id")).distinct()
-    live_df = sdf.join(replaced, "chunk_id", "left_anti")
+    n_snap = None
+    if as_of is not None:
+        from .snapshots import snapshot_df
+
+        snap = snapshot_df(spark, out_dir, as_of).select("chunk_id")
+        n_snap = snap.count()
+        live_df = sdf.join(snap, "chunk_id", "left_semi")
+    else:
+        # live view: drop chunks superseded by a compacted chunk
+        replaced = sdf.select(F.explode("replaces").alias("chunk_id")).distinct()
+        live_df = sdf.join(replaced, "chunk_id", "left_anti")
     # verification: ONE chunk-dir listing joined in, no per-file stats
     sizes = fsio.list_files(fsio.join(out_dir, "chunks"))
     sizes_df = spark.createDataFrame(sizes, "file string, fs_bytes bigint") \
         if sizes else spark.createDataFrame([], "file string, fs_bytes bigint")
+    keep_expr = _zone_keep_expr(plan, key_range, wheres, key_in=in_vals)
+    if in_vals and probes is not None:
+        keep_expr = keep_expr & _bloom_keep_udf(probes)(F.col("key_bloom"))
     marked = (
         live_df.join(F.broadcast(sizes_df), "file", "left")
         .select(
             "chunk_id",
             "file",
             F.col("fs_bytes").eqNullSafe(F.col("file_bytes")).alias("_ok"),
-            _zone_keep_expr(plan, key_range, where).alias("_keep"),
+            keep_expr.alias("_keep"),
         )
         .persist()
     )
@@ -279,8 +403,14 @@ def _live_pruned_files(
                 20,
             ).alias("bad_ids"),
         ).collect()[0]
+        if as_of is not None and agg["n"] != n_snap:
+            raise IOError(
+                f"snapshot v{as_of} at {out_dir!r} references {n_snap} "
+                f"chunks but only {agg['n']} sidecars remain (GC raced "
+                "an expired snapshot?)"
+            )
         if agg["n"] == 0:
-            return None
+            return None if as_of is None else []
         if agg["n_bad"]:
             more = "" if agg["n_bad"] <= 20 else f" (+{agg['n_bad'] - 20} more)"
             raise IOError(
@@ -291,6 +421,37 @@ def _live_pruned_files(
         return [r["file"] for r in marked.filter("_keep").select("file").collect()]
     finally:
         marked.unpersist()
+
+
+def _parse_bloom(raw) -> dict | None:
+    """Sidecar ``key_bloom`` JSON string -> dict, None-safe."""
+    if not raw:
+        return None
+    try:
+        b = json.loads(raw)
+        return b if isinstance(b, dict) else None
+    except (TypeError, json.JSONDecodeError):
+        return None
+
+
+def _bloom_keep_udf(probes):
+    """Vectorized bloom membership test over the sidecar ``key_bloom``
+    column (metadata rows — one per CHUNK, never per data row; the
+    whole point is to avoid touching data). Missing/malformed filters
+    keep the chunk."""
+    from pyspark.sql.functions import pandas_udf
+
+    h1, h2 = probes
+
+    @pandas_udf("boolean")
+    def _keep(blooms: pd.Series) -> pd.Series:
+        from ..functions.bloom import maybe_contains_any
+
+        return blooms.map(
+            lambda raw: maybe_contains_any(_parse_bloom(raw), h1, h2)
+        )
+
+    return _keep
 
 
 def _dec_exact_bounds(lo, hi):
@@ -353,114 +514,146 @@ def _dec_widened_bounds(lo, hi) -> tuple[float, float] | None:
     return lo_w, hi_w
 
 
-def _zone_keep_expr(plan: dict, key_range: tuple | None, where: tuple | None):
+#: above this many key_in probe values the per-value zone-map OR
+#: collapses to one [min, max] range check (expression size stays
+#: bounded); the Bloom filter still tests every value individually
+_KEY_IN_EXPR_MAX = 64
+
+
+def _zone_keep_expr(
+    plan: dict,
+    key_range: tuple | None,
+    wheres: list[tuple],
+    key_in: list | None = None,
+):
     """Spark-side twin of the driver pruning rules: TRUE iff the chunk
     may contain matching rows. Conservative by construction — any
     null/unparseable/incomparable stat keeps the chunk (row filters
-    after decode give exactness; pruning is only an optimization)."""
-    import datetime as _dt
-    import decimal as _decimal
-
+    after decode give exactness; pruning is only an optimization).
+    ``wheres`` is a conjunction; ``key_in`` keeps a chunk when ANY
+    probe value may land in the chunk's typed key zone map."""
     keep = F.lit(True)
     if key_range is not None and plan.get("key_type") == "string":
         lo, hi = key_range
         disjoint = (F.col("key_max") < str(lo)) | (F.col("key_min") > str(hi))
         keep = keep & ~F.coalesce(disjoint, F.lit(False))
-    if where is not None:
-        col, lo, hi = where
-        numeric = (int, float)
-        is_bool = isinstance(lo, bool) or isinstance(hi, bool)
-        raw = F.get_json_object(F.col("col_stats"), f"$['{col}']")
-        arr_s = F.from_json(raw, "array<string>")
+    for w in wheres:
+        keep = keep & _where_keep_expr(w)
+    if key_in:
+        key = plan.get("key")
+        vals = sorted(set(key_in))
+        if len(vals) <= _KEY_IN_EXPR_MAX:
+            any_keep = F.lit(False)
+            for v in vals:
+                any_keep = any_keep | _where_keep_expr((key, v, v))
+            keep = keep & any_keep
+        else:
+            keep = keep & _where_keep_expr((key, vals[0], vals[-1]))
+    return keep
 
-        def tagged_disjoint(tag: str, lo_b, hi_b):
-            """Disjointness on a 3-element tagged stat [min, max, tag]."""
-            return (
-                raw.isNotNull()
-                & (F.size(arr_s) == 3)
-                & (arr_s[2] == tag)
-                & ((arr_s[1] < lo_b) | (arr_s[0] > hi_b))
-            )
 
-        def dec_tagged_disjoint(lo_b, hi_b):
-            """Disjointness on "dec"-tagged stats: EXACT decimal
-            compare when the bounds fit decimal(38,s) (matches the
-            serial path's decimal.Decimal compare), else the 2-ULP-
-            widened double compare (conservative for bounds beyond any
-            Spark decimal — e.g. raw floats with ~50-digit exact
-            expansions); None = never prune."""
-            ex = _dec_exact_bounds(lo_b, hi_b)
-            if ex is not None:
-                lo_l, hi_l, dt2 = ex
-                return (
-                    raw.isNotNull()
-                    & (F.size(arr_s) == 3)
-                    & (arr_s[2] == "dec")
-                    & ((arr_s[1].try_cast(dt2) < lo_l)
-                       | (arr_s[0].try_cast(dt2) > hi_l))
-                )
-            w = _dec_widened_bounds(lo_b, hi_b)
-            if w is None:
-                return None
+def _where_keep_expr(where: tuple):
+    """Keep-expression for ONE (col, lo, hi) predicate against the
+    ``col_stats`` JSON column: TRUE unless the chunk's typed zone map
+    PROVES disjointness."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    keep = F.lit(True)
+    col, lo, hi = where
+    numeric = (int, float)
+    is_bool = isinstance(lo, bool) or isinstance(hi, bool)
+    raw = F.get_json_object(F.col("col_stats"), f"$['{col}']")
+    arr_s = F.from_json(raw, "array<string>")
+
+    def tagged_disjoint(tag: str, lo_b, hi_b):
+        """Disjointness on a 3-element tagged stat [min, max, tag]."""
+        return (
+            raw.isNotNull()
+            & (F.size(arr_s) == 3)
+            & (arr_s[2] == tag)
+            & ((arr_s[1] < lo_b) | (arr_s[0] > hi_b))
+        )
+
+    def dec_tagged_disjoint(lo_b, hi_b):
+        """Disjointness on "dec"-tagged stats: EXACT decimal
+        compare when the bounds fit decimal(38,s) (matches the
+        serial path's decimal.Decimal compare), else the 2-ULP-
+        widened double compare (conservative for bounds beyond any
+        Spark decimal — e.g. raw floats with ~50-digit exact
+        expansions); None = never prune."""
+        ex = _dec_exact_bounds(lo_b, hi_b)
+        if ex is not None:
+            lo_l, hi_l, dt2 = ex
             return (
                 raw.isNotNull()
                 & (F.size(arr_s) == 3)
                 & (arr_s[2] == "dec")
-                & ((arr_s[1].try_cast("double") < F.lit(w[0]))
-                   | (arr_s[0].try_cast("double") > F.lit(w[1])))
+                & ((arr_s[1].try_cast(dt2) < lo_l)
+                   | (arr_s[0].try_cast(dt2) > hi_l))
             )
+        w = _dec_widened_bounds(lo_b, hi_b)
+        if w is None:
+            return None
+        return (
+            raw.isNotNull()
+            & (F.size(arr_s) == 3)
+            & (arr_s[2] == "dec")
+            & ((arr_s[1].try_cast("double") < F.lit(w[0]))
+               | (arr_s[0].try_cast("double") > F.lit(w[1])))
+        )
 
-        if (not is_bool
-                and isinstance(lo, numeric) and isinstance(hi, numeric)):
-            # Representation chosen by the JSON literal form so the
-            # compare is exact in the regime that matters: float-formed
-            # stats ('.'/'e' present) parse as double (JSON floats
-            # round-trip doubles exactly; a representable stat vs a
-            # round-to-nearest bound can never flip keep->prune), and
-            # integer-formed stats parse as decimal(38,9) (exact for
-            # every int64, where double would round at >2^53).
-            arr_d = F.from_json(raw, "array<double>")
-            arr_c = F.from_json(raw, "array<decimal(38,9)>")
-            lo_c = F.lit(lo).cast("decimal(38,9)")
-            hi_c = F.lit(hi).cast("decimal(38,9)")
-            disjoint = (
-                raw.isNotNull()
-                & ~raw.startswith('["')  # string/tagged stats: below
-                & F.when(
-                    raw.rlike("[.eE]"),
-                    (arr_d[1] < F.lit(lo)) | (arr_d[0] > F.lit(hi)),
-                ).otherwise((arr_c[1] < lo_c) | (arr_c[0] > hi_c))
-            )
-            keep = keep & ~F.coalesce(disjoint, F.lit(False))
-            dec_disjoint = dec_tagged_disjoint(lo, hi)
-            if dec_disjoint is not None:  # numeric bounds prune dec cols too
-                keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
-        elif not is_bool and isinstance(lo, _decimal.Decimal) \
-                and isinstance(hi, _decimal.Decimal):
-            dec_disjoint = dec_tagged_disjoint(lo, hi)
-            if dec_disjoint is not None:
-                keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
-        elif isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
-            bounds = _where_bound_strs(lo, hi, "ts")
-            if bounds is not None:
-                keep = keep & ~F.coalesce(
-                    tagged_disjoint("ts", bounds[0], bounds[1]), F.lit(False)
-                )
-        elif (isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime)
-                and isinstance(hi, _dt.date) and not isinstance(hi, _dt.datetime)):
+    if (not is_bool
+            and isinstance(lo, numeric) and isinstance(hi, numeric)):
+        # Representation chosen by the JSON literal form so the
+        # compare is exact in the regime that matters: float-formed
+        # stats ('.'/'e' present) parse as double (JSON floats
+        # round-trip doubles exactly; a representable stat vs a
+        # round-to-nearest bound can never flip keep->prune), and
+        # integer-formed stats parse as decimal(38,9) (exact for
+        # every int64, where double would round at >2^53).
+        arr_d = F.from_json(raw, "array<double>")
+        arr_c = F.from_json(raw, "array<decimal(38,9)>")
+        lo_c = F.lit(lo).cast("decimal(38,9)")
+        hi_c = F.lit(hi).cast("decimal(38,9)")
+        disjoint = (
+            raw.isNotNull()
+            & ~raw.startswith('["')  # string/tagged stats: below
+            & F.when(
+                raw.rlike("[.eE]"),
+                (arr_d[1] < F.lit(lo)) | (arr_d[0] > F.lit(hi)),
+            ).otherwise((arr_c[1] < lo_c) | (arr_c[0] > hi_c))
+        )
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+        dec_disjoint = dec_tagged_disjoint(lo, hi)
+        if dec_disjoint is not None:  # numeric bounds prune dec cols too
+            keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
+    elif not is_bool and isinstance(lo, _decimal.Decimal) \
+            and isinstance(hi, _decimal.Decimal):
+        dec_disjoint = dec_tagged_disjoint(lo, hi)
+        if dec_disjoint is not None:
+            keep = keep & ~F.coalesce(dec_disjoint, F.lit(False))
+    elif isinstance(lo, _dt.datetime) and isinstance(hi, _dt.datetime):
+        bounds = _where_bound_strs(lo, hi, "ts")
+        if bounds is not None:
             keep = keep & ~F.coalesce(
-                tagged_disjoint("date", lo.isoformat(), hi.isoformat()),
-                F.lit(False),
+                tagged_disjoint("ts", bounds[0], bounds[1]), F.lit(False)
             )
-        elif not is_bool and isinstance(lo, str) and isinstance(hi, str):
-            disjoint = (
-                raw.isNotNull()
-                & raw.startswith('["')  # only genuine string stats...
-                & (F.size(arr_s) == 2)  # ...not tagged dec/ts/date ones
-                & ((arr_s[1] < lo) | (arr_s[0] > hi))
-            )
-            keep = keep & ~F.coalesce(disjoint, F.lit(False))
-        # bool / mixed-type bounds: never prune (same as the driver rule)
+    elif (isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime)
+            and isinstance(hi, _dt.date) and not isinstance(hi, _dt.datetime)):
+        keep = keep & ~F.coalesce(
+            tagged_disjoint("date", lo.isoformat(), hi.isoformat()),
+            F.lit(False),
+        )
+    elif not is_bool and isinstance(lo, str) and isinstance(hi, str):
+        disjoint = (
+            raw.isNotNull()
+            & raw.startswith('["')  # only genuine string stats...
+            & (F.size(arr_s) == 2)  # ...not tagged dec/ts/date ones
+            & ((arr_s[1] < lo) | (arr_s[0] > hi))
+        )
+        keep = keep & ~F.coalesce(disjoint, F.lit(False))
+    # bool / mixed-type bounds: never prune (same as the driver rule)
     return keep
 
 
@@ -715,3 +908,244 @@ def encoded_size_report(out_dir: str, spark: SparkSession | None = None) -> dict
         if name.endswith(".parquet")
     )
     return {"encoded_bytes": total}
+
+
+#: fixed-width ISO render of "ts"-tagged stats (encode._TS_STAT_FMT)
+#: as a Spark datetime pattern, for the distributed stat parse
+_TS_SPARK_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _stat_parse_serial(mm: list, dt) -> tuple | None:
+    """One chunk's recorded [min, max] (col_stats entry ``mm``) parsed
+    into the COLUMN's python domain per the table schema type ``dt``,
+    or None when the stat form and the schema type don't match (foreign
+    /stale sidecar — treated as a missing stat)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql import types as T
+
+    try:
+        if len(mm) == 3:
+            lo_s, hi_s, tag = mm
+            if tag == "dec" and isinstance(dt, T.DecimalType):
+                return _decimal.Decimal(lo_s), _decimal.Decimal(hi_s)
+            if tag == "ts" and isinstance(dt, T.TimestampType):
+                from .encode import _TS_STAT_FMT
+
+                return (
+                    _dt.datetime.strptime(lo_s, _TS_STAT_FMT),
+                    _dt.datetime.strptime(hi_s, _TS_STAT_FMT),
+                )
+            if tag == "date" and isinstance(dt, T.DateType):
+                return (
+                    _dt.date.fromisoformat(lo_s),
+                    _dt.date.fromisoformat(hi_s),
+                )
+            return None
+        lo, hi = mm
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return (int(lo), int(hi)) if not isinstance(lo, (str, bool)) else None
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return (
+                (float(lo), float(hi))
+                if not isinstance(lo, (str, bool)) else None
+            )
+        if isinstance(dt, T.StringType):
+            return (lo, hi) if isinstance(lo, str) else None
+    except (TypeError, ValueError, _decimal.InvalidOperation):
+        return None
+    return None
+
+
+def _stat_min_max_exprs(col: str, dt):
+    """(min_expr, max_expr) parsing the recorded stat strings into the
+    column's own Spark type (exact: int64 via decimal(38,0), decimals
+    via the column's decimal type, timestamps via the fixed-width ISO
+    pattern whose lexicographic order is chronological), or None for
+    types that never record stats."""
+    from pyspark.sql import types as T
+
+    raw = F.get_json_object(F.col("col_stats"), f"$['{col}']")
+    arr_s = F.from_json(raw, "array<string>")
+    tagged = raw.isNotNull() & (F.size(arr_s) == 3)
+    plain = raw.isNotNull() & (F.size(arr_s) == 2)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        arr = F.from_json(raw, "array<decimal(38,0)>")
+        return (
+            F.when(plain & ~raw.startswith('["'), arr[0]),
+            F.when(plain & ~raw.startswith('["'), arr[1]),
+        )
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        arr = F.from_json(raw, "array<double>")
+        return (
+            F.when(plain & ~raw.startswith('["'), arr[0]),
+            F.when(plain & ~raw.startswith('["'), arr[1]),
+        )
+    if isinstance(dt, T.StringType):
+        return (
+            F.when(plain & raw.startswith('["'), arr_s[0]),
+            F.when(plain & raw.startswith('["'), arr_s[1]),
+        )
+    if isinstance(dt, T.DecimalType):
+        t = dt.simpleString()
+        cond = tagged & (arr_s[2] == "dec")
+        return (
+            F.when(cond, arr_s[0].try_cast(t)),
+            F.when(cond, arr_s[1].try_cast(t)),
+        )
+    if isinstance(dt, T.TimestampType):
+        cond = tagged & (arr_s[2] == "ts")
+        return (
+            F.when(cond, F.to_timestamp(arr_s[0], _TS_SPARK_FMT)),
+            F.when(cond, F.to_timestamp(arr_s[1], _TS_SPARK_FMT)),
+        )
+    if isinstance(dt, T.DateType):
+        cond = tagged & (arr_s[2] == "date")
+        return (
+            F.when(cond, arr_s[0].try_cast("date")),
+            F.when(cond, arr_s[1].try_cast("date")),
+        )
+    return None
+
+
+def table_stats(
+    spark: SparkSession | None,
+    out_dir: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """COUNT / MIN / MAX answered from the manifest ALONE — aggregate
+    pushdown to table metadata, the trick every columnar engine plays
+    (parquet footer stats, Iceberg's snapshot summaries): on a 100-TB
+    table, ``SELECT count(*), min(x), max(x)`` costs one sidecar scan
+    and ZERO chunk-file reads.
+
+    Returns ``{"n_rows": N, "n_chunks": C, "columns": {col: {"min":
+    v, "max": v, "exact": bool}}}``. Per-chunk recorded stats are
+    EXACT (true min/max at encode time, encode._col_min_max), so the
+    fold is exact whenever every live chunk with rows carries a stat
+    for the column; otherwise (all-null chunks, non-finite floats,
+    stat-ineligible types) ``exact`` is False and min/max are the fold
+    over the chunks that do (None when none do) — callers needing
+    exactness then fall back to decoding that column.
+
+    Damage policy matches decode: any live sidecar whose chunk file is
+    missing/size-mismatched raises (stats must never describe a table
+    that can't be read back). Distributed above the same sidecar
+    threshold as every other scan; only ONE aggregate row ever reaches
+    the driver there.
+    """
+    from .encode import (
+        _DISTRIBUTED_SCAN_MIN,
+        _sidecar_df,
+        live_chunks,
+        scan_sidecars,
+    )
+
+    plan = load_plan(out_dir)
+    schema = StructType.fromJson(json.loads(plan["schema_json"]))
+    by_name = {f.name: f.dataType for f in schema.fields}
+    cols = list(columns) if columns is not None else [f.name for f in schema.fields]
+    unknown = [c for c in cols if c not in by_name]
+    if unknown:
+        raise KeyError(f"columns not in the table schema: {unknown}")
+
+    manifest_dir = fsio.join(out_dir, "manifest")
+    n_side = sum(
+        1 for fn, _sz in fsio.list_files(manifest_dir) if fn.endswith(".json")
+    )
+    if spark is None or n_side < _DISTRIBUTED_SCAN_MIN:
+        live = live_chunks(scan_sidecars(out_dir))
+        bad = [cid for cid, m in live.items() if not m["_verified"]]
+        if bad:
+            raise IOError(
+                f"encoded table at {out_dir!r} is damaged or incomplete: "
+                f"chunk file size mismatch / missing for chunk ids {sorted(bad)}"
+            )
+        out_cols: dict[str, dict] = {}
+        for c in cols:
+            mn = mx = None
+            missing = 0
+            for m in live.values():
+                if not m.get("n_rows"):
+                    continue  # empty chunks constrain nothing
+                try:
+                    stats = json.loads(m.get("col_stats") or "{}")
+                except (TypeError, json.JSONDecodeError):
+                    stats = {}
+                parsed = (
+                    _stat_parse_serial(stats[c], by_name[c])
+                    if c in stats else None
+                )
+                if parsed is None:
+                    missing += 1
+                    continue
+                lo, hi = parsed
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            out_cols[c] = {"min": mn, "max": mx, "exact": missing == 0}
+        return {
+            "n_rows": sum(int(m.get("n_rows") or 0) for m in live.values()),
+            "n_chunks": len(live),
+            "columns": out_cols,
+        }
+
+    sdf = _sidecar_df(spark, out_dir).dropDuplicates(["chunk_id"])
+    replaced = sdf.select(F.explode("replaces").alias("chunk_id")).distinct()
+    live_df = sdf.join(replaced, "chunk_id", "left_anti")
+    sizes = fsio.list_files(fsio.join(out_dir, "chunks"))
+    sizes_df = spark.createDataFrame(sizes, "file string, fs_bytes bigint") \
+        if sizes else spark.createDataFrame([], "file string, fs_bytes bigint")
+    live_df = live_df.join(F.broadcast(sizes_df), "file", "left").withColumn(
+        "_ok", F.col("fs_bytes").eqNullSafe(F.col("file_bytes"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("_chunks"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("_bad"),
+        F.sum("n_rows").alias("_rows"),
+    ]
+    exprs: dict[str, tuple] = {}
+    for c in cols:
+        e = _stat_min_max_exprs(c, by_name[c])
+        exprs[c] = e
+        nonempty = F.col("n_rows") > 0
+        if e is None:
+            aggs.append(
+                F.sum(F.when(nonempty, 1).otherwise(0)).alias(f"_miss_{c}")
+            )
+            continue
+        lo_e, hi_e = e
+        aggs.append(F.min(F.when(nonempty, lo_e)).alias(f"_min_{c}"))
+        aggs.append(F.max(F.when(nonempty, hi_e)).alias(f"_max_{c}"))
+        aggs.append(
+            F.sum(
+                F.when(nonempty & lo_e.isNull(), 1).otherwise(0)
+            ).alias(f"_miss_{c}")
+        )
+    row = live_df.agg(*aggs).collect()[0]
+    if row["_bad"]:
+        raise IOError(
+            f"encoded table at {out_dir!r} is damaged or incomplete: "
+            f"{row['_bad']} live chunk files missing/size-mismatched"
+        )
+    from pyspark.sql import types as T
+
+    out_cols = {}
+    for c in cols:
+        exact = (row[f"_miss_{c}"] or 0) == 0
+        if exprs[c] is None:
+            out_cols[c] = {"min": None, "max": None, "exact": exact}
+            continue
+        mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
+        if isinstance(
+            by_name[c], (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            # decimal(38,0) parse -> the column's python int domain
+            mn = int(mn) if mn is not None else None
+            mx = int(mx) if mx is not None else None
+        out_cols[c] = {"min": mn, "max": mx, "exact": exact}
+    return {
+        "n_rows": int(row["_rows"] or 0),
+        "n_chunks": int(row["_chunks"] or 0),
+        "columns": out_cols,
+    }

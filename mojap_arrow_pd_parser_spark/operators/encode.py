@@ -41,6 +41,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.bloom import bloom_from_arrow
 from ..functions.codecs import encode_array
 from ..plans.chunking import assign_buckets, load_or_make_plan
 from ..sources import fsio
@@ -216,6 +217,15 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         schema=CHUNK_FILE_SCHEMA,
     )
     key_vals = table.column(key) if key in table.column_names else None
+    # per-chunk key Bloom filter (functions/bloom.py): point-lookup
+    # pruning for chunks whose key RANGES overlap (appended
+    # generations, salted/file-aligned tables) where min-max alone
+    # can't prune. Sidecar-only, conservative, ~10 bits/key.
+    key_bloom = (
+        bloom_from_arrow(key_vals.combine_chunks())
+        if key_vals is not None and n_rows
+        else None
+    )
     manifest = {
         "chunk_id": chunk_id,
         "n_rows": n_rows,
@@ -234,6 +244,8 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         "wall_ms": int((time.monotonic() - t0) * 1000),
         "status": "ok",
     }
+    if key_bloom is not None:
+        manifest["key_bloom"] = json.dumps(key_bloom, separators=(",", ":"))
     return enc, manifest
 
 
@@ -344,7 +356,8 @@ SIDECAR_DF_SCHEMA = (
     "chunk_id int, n_rows bigint, n_cols int, in_bytes bigint, "
     "out_bytes bigint, codecs string, crc32 string, key_min string, "
     "key_max string, wall_ms bigint, file string, status string, "
-    "file_bytes bigint, replaces array<bigint>, col_stats string"
+    "file_bytes bigint, replaces array<bigint>, col_stats string, "
+    "key_bloom string"
 )
 
 #: below this many sidecars the serial loop wins (no job overhead);
@@ -467,6 +480,7 @@ _SIDECAR_ARROW_SCHEMA = pa.schema(
         ("file_bytes", pa.int64()),
         ("replaces", pa.list_(pa.int64())),
         ("col_stats", pa.string()),
+        ("key_bloom", pa.string()),
     ]
 )
 
@@ -527,6 +541,7 @@ def _scan_sidecars_distributed(
             m["replaces"] = [int(r) for r in m["replaces"]]
         if m.get("col_stats") is None:
             m.pop("col_stats", None)  # pre-round-3 sidecars lack it
+            m.pop("key_bloom", None)
         m["_verified"] = sizes.get(m["file"]) == m["file_bytes"]
         out[int(m["chunk_id"])] = m
     return out
@@ -571,6 +586,7 @@ def encode_table(
     partition_col: str | None = None,
     chunk_base: int = 0,
     pending: str | None = None,
+    track_snapshots: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
@@ -596,6 +612,11 @@ def encode_table(
     the resume scan passes the token through so a same-token rerun
     still skips its durable chunks. Consolidation is deferred to the
     transaction commit.
+
+    ``track_snapshots`` opts the TABLE into versioned snapshots
+    (persisted into plan.json, so appends/deletes/upserts/compactions
+    inherit it): every committed verb records its live view, readable
+    with ``decode_table(as_of=version)`` — see operators/snapshots.py.
     """
     fsio.makedirs(fsio.join(out_dir, "chunks"))
     fsio.makedirs(fsio.join(out_dir, "manifest"))
@@ -608,8 +629,14 @@ def encode_table(
     plan = load_or_make_plan(
         spark, df, out_dir, key, n_chunks, seed=seed, partition_col=partition_col
     )
+    plan_dirty = False
     if "schema_json" not in plan:
         plan["schema_json"] = df.schema.json()
+        plan_dirty = True
+    if track_snapshots and not plan.get("snapshots"):
+        plan["snapshots"] = True
+        plan_dirty = True
+    if plan_dirty:
         fsio.write_json_atomic(fsio.join(out_dir, "plan.json"), plan)
 
     if chunk_base < 0:
@@ -669,6 +696,7 @@ def encode_table(
             )
             manifest.pop("file_bytes")
             manifest.pop("col_stats", None)
+            manifest.pop("key_bloom", None)
             yield _manifest_batch(manifest).to_batches()[0]
 
     mdf = (
@@ -681,7 +709,8 @@ def encode_table(
         # consolidation to the commit (staged sidecars are invisible)
         mdf.count()
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    return _finish_encode(spark, mdf, out_dir, consolidate)
+    return _finish_encode(spark, mdf, out_dir, consolidate,
+                          verb="append" if chunk_base else "encode")
 
 
 def _evolve_table_schema(plan: dict, df: DataFrame, plan_path: str) -> None:
@@ -844,10 +873,22 @@ def _live_manifest_df(spark, out_dir) -> DataFrame:
     return live.select(*_MANIFEST_COLS)
 
 
-def _finish_encode(spark, mdf, out_dir, consolidate):
+def _finish_encode(spark, mdf, out_dir, consolidate, verb: str = "commit"):
     # Materialize (runs the encode); the job's own rows land nowhere —
     # the sidecars written inside the tasks are the source of truth.
     mdf.count()
+    # Snapshot-tracking tables persist each committed verb's live view
+    # as an immutable version (operators/snapshots.py) — BEFORE any GC
+    # the caller runs, so retention always sees the newest snapshot.
+    if consolidate:
+        try:
+            plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
+        except (FileNotFoundError, OSError, json.JSONDecodeError):
+            plan = {}
+        if plan.get("snapshots"):
+            from .snapshots import write_snapshot
+
+            write_snapshot(spark, out_dir, verb)
     # Consolidate ALL LIVE verified sidecars (this run + survivors of
     # killed runs, minus compaction-superseded chunks) into one
     # queryable manifest table.
@@ -880,6 +921,7 @@ def _finish_encode(spark, mdf, out_dir, consolidate):
         m.pop("file_bytes", None)
         m.pop("replaces", None)  # compaction lineage stays sidecar-only
         m.pop("col_stats", None)  # column zone map stays sidecar-only
+        m.pop("key_bloom", None)  # bloom filter stays sidecar-only
         rows.append(m)
     cons = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) if rows else None
     if cons is None:
@@ -991,6 +1033,7 @@ def encode_files(
                 )
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
+                manifest.pop("key_bloom", None)
                 yield _manifest_batch(manifest).to_batches()[0]
 
     if todo:
@@ -1000,7 +1043,7 @@ def encode_files(
         mdf = fdf.mapInArrow(encode_file, schema=MANIFEST_SCHEMA)
     else:
         mdf = spark.createDataFrame([], MANIFEST_SCHEMA)
-    return _finish_encode(spark, mdf, out_dir, consolidate)
+    return _finish_encode(spark, mdf, out_dir, consolidate, verb="encode_files")
 
 
 def compact_chunks(
@@ -1054,7 +1097,8 @@ def compact_chunks(
     groups = [g for g in groups if len(g) > 1]
     if not groups:
         return _finish_encode(
-            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
+            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir,
+            consolidate, verb="compact",
         )
 
     next_id = _next_rewrite_id(done)
@@ -1105,12 +1149,13 @@ def compact_chunks(
                 )
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
+                manifest.pop("key_bloom", None)
                 manifest.pop("replaces")
                 yield _manifest_batch(manifest).to_batches()[0]
 
     wdf = spark.createDataFrame(work, "chunk_id int, spec string").repartition(len(work))
     mdf = wdf.mapInArrow(merge_group, schema=MANIFEST_SCHEMA)
-    result = _finish_encode(spark, mdf, out_dir, consolidate)
+    result = _finish_encode(spark, mdf, out_dir, consolidate, verb="compact")
     if gc:
         gc_superseded(out_dir, spark)
     return result
@@ -1163,7 +1208,8 @@ def delete_rows(
     ]
     if not work:
         return _finish_encode(
-            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
+            spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir,
+            consolidate, verb="delete",
         )
 
     def rewrite_chunk(batches):
@@ -1223,6 +1269,7 @@ def delete_rows(
                 )
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
+                manifest.pop("key_bloom", None)
                 manifest.pop("replaces")
                 yield _manifest_batch(manifest).to_batches()[0]
 
@@ -1230,7 +1277,7 @@ def delete_rows(
         min(len(work), spark.sparkContext.defaultParallelism)
     )
     mdf = wdf.mapInArrow(rewrite_chunk, schema=MANIFEST_SCHEMA)
-    result = _finish_encode(spark, mdf, out_dir, consolidate)
+    result = _finish_encode(spark, mdf, out_dir, consolidate, verb="delete")
     if gc:
         gc_superseded(out_dir, spark)
     return result
@@ -1457,6 +1504,7 @@ def upsert_rows(
                     )
                     manifest.pop("file_bytes")
                     manifest.pop("col_stats", None)
+                    manifest.pop("key_bloom", None)
                     manifest.pop("replaces")
                     yield _manifest_batch(manifest).to_batches()[0]
 
@@ -1475,7 +1523,8 @@ def upsert_rows(
     fsio.write_json_atomic(commit_path, {"generation": int(generation)})
     _fold_committed_staging(out_dir)
     result = _finish_encode(
-        spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir, consolidate
+        spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir,
+        consolidate, verb="upsert",
     )
     if gc:
         gc_superseded(out_dir, spark)
@@ -1492,12 +1541,29 @@ def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     compaction cadence, serial driver-side ``delete_file`` round trips
     against an object store would cost hours of driver wall; the victim
     LIST itself is driver-light (ids + file names only). Tasks tolerate
-    already-missing files so a crashed GC re-runs cleanly."""
+    already-missing files so a crashed GC re-runs cleanly.
+
+    Snapshot retention (operators/snapshots.py): a chunk referenced by
+    ANY retained snapshot is never collected even when the live view
+    superseded it — time travel to that version must keep working.
+    ``expire_snapshots`` is what releases those chunks to a later GC."""
     done = scan_done_chunks(out_dir, spark, columns=())
     live = live_chunks(done)
     victims = [
         (int(cid), m["file"]) for cid, m in done.items() if cid not in live
     ]
+    from .snapshots import list_snapshots, referenced_files_df, referenced_ids
+
+    has_snaps = bool(victims) and bool(list_snapshots(out_dir))
+    if has_snaps and not (
+        spark is not None and len(victims) >= _DISTRIBUTED_SCAN_MIN
+    ):
+        # small victim lists: one driver-side set filter (the serial
+        # GC's own memory shape); the DISTRIBUTED branch below anti-
+        # joins against the snapshot parquets instead, so retained
+        # membership never materializes on the driver at scale
+        ref = referenced_ids(out_dir) or set()
+        victims = [(cid, f) for cid, f in victims if cid not in ref]
     if spark is not None and len(victims) >= _DISTRIBUTED_SCAN_MIN:
         manifest_dir = fsio.join(out_dir, "manifest")
         chunks_dir = fsio.join(out_dir, "chunks")
@@ -1521,6 +1587,10 @@ def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
                 )
 
         vdf = spark.createDataFrame(victims, "chunk_id int, file string")
+        if has_snaps:
+            ref = referenced_files_df(spark, out_dir)
+            if ref is not None:
+                vdf = vdf.join(ref, "chunk_id", "left_anti")
         vdf = vdf.repartition(
             max(1, min(len(victims) // 256 + 1,
                        spark.sparkContext.defaultParallelism))

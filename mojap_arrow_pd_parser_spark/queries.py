@@ -2797,6 +2797,112 @@ GROUP BY source ORDER BY source
 """
 
 
+_Q61_PROBES = (
+    "doc_000000000003",
+    "doc_000000000041",
+    "doc_000000000599",
+    "g1-doc_000000000007",
+    "doc_999999999999",  # absent — must prune, not match
+)
+
+
+def q61_time_travel_suite(spark, sf):
+    """Snapshot time travel + bloom point lookup + manifest-only stats
+    under oracle, one lifecycle: encode gen-0 with snapshot tracking,
+    append gen-1 (v2), row-level DELETE with gc=True (v3 — GC must
+    HONOR snapshot retention or the time-travel read below breaks),
+    then three reads the DuckDB oracle re-derives from the untouched
+    source parquets alone:
+
+    - ``timetravel``: decode ``as_of=2`` (post-append, pre-delete) —
+      oracle is the plain UNION of both sources with NO delete filter;
+      agreement proves the snapshot pins the exact pre-delete
+      membership and that GC left every retained chunk alone.
+    - ``pointlookup``: ``key_in`` probes on the live view (zone-map +
+      per-chunk key Bloom pruning, exact row filter after) — oracle is
+      ``WHERE doc_id IN (...)`` over the post-delete truth; a bloom
+      false NEGATIVE would lose a row and mismatch.
+    - ``stats``: ``table_stats`` COUNT/MIN/MAX answered from the
+      manifest alone (zero chunk reads) — oracle recomputes them from
+      the data.
+    """
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.decode import decode_table, table_stats
+    from .operators.encode import delete_rows, encode_append, encode_table
+
+    src0 = f"{ARTIFACT_DIR}/q61_src0"
+    src1 = f"{ARTIFACT_DIR}/q61_src1"
+    enc = f"{ARTIFACT_DIR}/q61_enc"
+    shutil.rmtree(enc, ignore_errors=True)
+    a = tokens_table(spark, 600, seed=71)
+    b = tokens_table(spark, 400, seed=72).selectExpr(
+        "concat('g1-', doc_id) as doc_id", "tokens", "n_tok", "source"
+    )
+    a.write.mode("overwrite").parquet(src0)
+    b.write.mode("overwrite").parquet(src1)
+    encode_table(
+        spark, spark.read.parquet(src0), enc, n_chunks=6, track_snapshots=True
+    )
+    encode_append(spark, spark.read.parquet(src1), enc, generation=1)
+    delete_rows(spark, enc, ("n_tok", 100, 260), gc=True)
+    tok_sum = F.aggregate(
+        "tokens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+    def agg(df, stage):
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("sum_tok"),
+                F.sum(tok_sum).cast("long").alias("tok_value_sum"),
+                F.min("doc_id").alias("doc_min"),
+                F.max("doc_id").alias("doc_max"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    tt = agg(decode_table(spark, enc, as_of=2), "timetravel")
+    pl = agg(decode_table(spark, enc, key_in=list(_Q61_PROBES)), "pointlookup")
+    st = table_stats(spark, enc, columns=["doc_id"])
+    di = st["columns"]["doc_id"]
+    stats_df = spark.createDataFrame(
+        [("stats", "_table", st["n_rows"], None, None, di["min"], di["max"])],
+        "stage string, source string, n_docs long, sum_tok long, "
+        "tok_value_sum long, doc_min string, doc_max string",
+    )
+    return tt.unionByName(pl).unionByName(stats_df).orderBy("stage", "source")
+
+
+_Q61_IN = ", ".join(f"'{p}'" for p in _Q61_PROBES)
+
+SQL_Q61_SUITE = f"""
+WITH u AS (
+  SELECT * FROM read_parquet('{ARTIFACT_DIR}/q61_src0/*.parquet')
+  UNION ALL
+  SELECT * FROM read_parquet('{ARTIFACT_DIR}/q61_src1/*.parquet')
+),
+live AS (SELECT * FROM u WHERE n_tok NOT BETWEEN 100 AND 260)
+SELECT 'timetravel' AS stage, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT) AS tok_value_sum,
+       MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+FROM u GROUP BY source
+UNION ALL
+SELECT 'pointlookup', source, COUNT(*),
+       CAST(SUM(n_tok) AS BIGINT),
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM live WHERE doc_id IN ({_Q61_IN}) GROUP BY source
+UNION ALL
+SELECT 'stats', '_table', COUNT(*), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), MIN(doc_id), MAX(doc_id)
+FROM live
+"""
+
+
 # ---------------------------------------------------------------------------
 # Suite folds (round 7). The driver's correctness gate records at most
 # 50 queries per round (CORRECTNESS_r06 carried exactly the first 50
@@ -2922,7 +3028,21 @@ def q57_lakehouse_lifecycle(spark, sf):
     b = conform(q58_delete_rows_roundtrip(spark, sf), "delete")
     c = conform(q59_upsert_roundtrip(spark, sf), "upsert")
     d = conform(q60_schema_evolution_roundtrip(spark, sf), "evolve")
-    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("stage", "source")
+    e = q61_time_travel_suite(spark, sf).select(
+        "stage",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        F.col("tok_value_sum").cast("long").alias("tok_value_sum"),
+        F.lit(None).cast("long").alias("n_quality"),
+        F.lit(None).cast("double").alias("sum_quality"),
+        "doc_min",
+        "doc_max",
+    )
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .orderBy("stage", "source")
+    )
 
 
 SQL_Q57_SUITE = f"""
@@ -2942,6 +3062,10 @@ UNION ALL
 SELECT 'evolve', source, n_docs, CAST(NULL AS BIGINT), tok_value_sum,
        n_quality, sum_quality, doc_min, doc_max
 FROM ({SQL_Q60})
+UNION ALL
+SELECT stage, source, n_docs, sum_tok, tok_value_sum,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), doc_min, doc_max
+FROM ({SQL_Q61_SUITE})
 ORDER BY stage, source
 """
 

@@ -138,6 +138,18 @@ def list_files(dir_path: str) -> list[tuple[str, int]]:
     ]
 
 
+def list_dirs(dir_path: str) -> list[str]:
+    """Base names of directories directly under dir_path; empty if
+    the directory does not exist."""
+    fs, p = resolve(dir_path)
+    sel = pafs.FileSelector(p, allow_not_found=True, recursive=False)
+    return [
+        info.base_name
+        for info in fs.get_file_info(sel)
+        if info.type == pafs.FileType.Directory
+    ]
+
+
 def read_bytes(path: str) -> bytes:
     fs, p = resolve(path)
     with fs.open_input_stream(p) as f:

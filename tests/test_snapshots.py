@@ -1,0 +1,412 @@
+"""Round-7 feature tests: per-chunk key Bloom filters (point-lookup
+pruning), versioned snapshots + time travel + expiry, predicate-list /
+key_in decode pruning, and manifest-only table_stats.
+
+Reference parity note: the reference library has no versioning or
+statistics pushdown (it reads whole files,
+/root/reference/arrow_pd_parser/_readers.py); these generalize its
+read-back-what-you-wrote contract across table history and to
+metadata-only aggregate answers.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _tbl(spark, n, seed, prefix=""):
+    from mojap_arrow_pd_parser_spark.datagen import tokens_table
+
+    t = tokens_table(spark, n, seed=seed)
+    if prefix:
+        t = t.selectExpr(
+            f"concat('{prefix}', doc_id) as doc_id", "tokens", "n_tok", "source"
+        )
+    return t
+
+
+class TestBloomFilter:
+    """functions/bloom.py unit behavior: never a false negative,
+    FPR near design, conservative on anything malformed."""
+
+    def test_no_false_negatives_str(self):
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        keys = [f"doc_{i:05d}" for i in range(5000)]
+        b = bloom.build_bloom(keys, "str")
+        assert b is not None
+        for probe in keys[::97]:
+            h1, h2 = bloom.probe_hashes([probe], "str")
+            assert bloom.maybe_contains_any(b, h1, h2)
+
+    def test_no_false_negatives_int(self):
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        keys = list(range(0, 300000, 7))[:4000]
+        b = bloom.build_bloom(keys, "int")
+        for probe in keys[::131]:
+            h1, h2 = bloom.probe_hashes([probe], "int")
+            assert bloom.maybe_contains_any(b, h1, h2)
+
+    def test_fpr_near_design(self):
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        rng = np.random.default_rng(7)
+        keys = rng.choice(10**9, size=8000, replace=False)
+        b = bloom.build_bloom([int(k) for k in keys], "int")
+        absent = [int(v) + 10**9 for v in rng.choice(10**9, size=4000)]
+        h1, h2 = bloom.probe_hashes(absent, "int")
+        fp = sum(
+            bloom.maybe_contains_any(b, h1[j : j + 1], h2[j : j + 1])
+            for j in range(len(absent))
+        )
+        # design ~1% at 10 bits/key k=7; power-of-2 sizing can only lower it
+        assert fp / len(absent) < 0.03
+
+    def test_arrow_build_matches_python_probe(self):
+        import pyarrow as pa
+
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        arr = pa.array([f"k{i}" for i in range(1000)] + [None])
+        b = bloom.bloom_from_arrow(arr)
+        h1, h2 = bloom.probe_hashes(["k500"], "str")
+        assert bloom.maybe_contains_any(b, h1, h2)
+        arr_i = pa.array(list(range(1000)), type=pa.int32())
+        b_i = bloom.bloom_from_arrow(arr_i)
+        h1, h2 = bloom.probe_hashes([999], "int")
+        assert bloom.maybe_contains_any(b_i, h1, h2)
+        h1, h2 = bloom.probe_hashes([10**7], "int")
+        # a single absent probe is overwhelmingly likely pruned
+        assert not bloom.maybe_contains_any(b_i, h1, h2)
+
+    def test_unsupported_and_empty_and_saturated(self):
+        import pyarrow as pa
+
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        assert bloom.bloom_from_arrow(pa.array([1.5, 2.5])) is None
+        assert bloom.bloom_from_arrow(pa.array([], type=pa.string())) is None
+        assert bloom.bloom_from_arrow(pa.array([None], type=pa.string())) is None
+        # > cap/bits_per_key keys -> no filter rather than a saturated one
+        too_many = bloom.build_bloom(list(range(200_001)), "int")
+        assert too_many is None
+
+    def test_malformed_filter_is_conservative(self):
+        from mojap_arrow_pd_parser_spark.functions import bloom
+
+        h1, h2 = bloom.probe_hashes(["x"], "str")
+        assert bloom.maybe_contains_any(None, h1, h2)
+        assert bloom.maybe_contains_any({}, h1, h2)
+        assert bloom.maybe_contains_any({"m": 100, "k": 7, "b64": "xx"}, h1, h2)
+        assert bloom.maybe_contains_any({"m": "bad", "k": 7, "b64": ""}, h1, h2)
+
+
+class TestKeyInDecode:
+    """decode_table(key_in=...): exact point-lookup semantics plus
+    actual chunk-file pruning via zone map + bloom."""
+
+    def test_key_in_exact_rows(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 1500, 3)
+        encode_table(spark, src, out, key="doc_id", n_chunks=6)
+        probes = [r.doc_id for r in src.limit(7).collect()] + ["absent!", None]
+        got = decode_table(spark, out, key_in=probes)
+        exp = src.filter(F.col("doc_id").isin([p for p in probes if p]))
+        assert got.count() == exp.count() == 7
+        assert "doc_id" in got.columns
+
+    def test_key_in_prunes_overlapping_generations(self, spark, tmp_path):
+        """Appended generations share the key grid — interleaved key
+        sets make every generation's zone maps overlap, so the bloom
+        is what prunes. A single-key probe must touch far fewer chunk
+        files than live."""
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            _live_pruned_files, load_plan,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table, live_chunks, scan_sidecars,
+        )
+
+        out = str(tmp_path / "enc")
+        full = _tbl(spark, 1600, 1)
+        parity = "cast(substring(doc_id, 5, 12) as bigint) % 2"
+        even, odd = full.filter(f"{parity} = 0"), full.filter(f"{parity} = 1")
+        encode_table(spark, even, out, key="doc_id", n_chunks=8)
+        encode_append(spark, odd, out, generation=1)
+        plan = load_plan(out)
+        n_live = len(live_chunks(scan_sidecars(out)))
+        assert n_live >= 16
+        probe = odd.limit(1).collect()[0].doc_id
+        kept = _live_pruned_files(spark, out, plan, None, None, key_in=[probe])
+        # min-max alone keeps one chunk PER GENERATION (ranges fully
+        # interleave); the bloom must cut the generation that does not
+        # hold the key
+        assert 1 <= len(kept) <= 2
+        # and the decode over the pruned set still answers exactly
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        assert decode_table(spark, out, key_in=[probe]).count() == 1
+
+    def test_key_in_empty_result_schema_stable(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 200, 5), out, key="doc_id", n_chunks=2)
+        full = decode_table(spark, out)
+        empty = decode_table(
+            spark, out, columns=["n_tok", "source"], key_in=["no_such_key"]
+        )
+        assert empty.count() == 0
+        assert empty.columns == ["n_tok", "source"]
+        assert full.count() == 200
+
+
+class TestWheresConjunction:
+    def test_list_of_predicates_is_conjunction(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 1200, 9)
+        encode_table(spark, src, out, key="doc_id", n_chunks=6)
+        got = decode_table(
+            spark, out, where=[("n_tok", 50, 400), ("source", "common_crawl", "github")]
+        )
+        exp = src.filter(
+            "n_tok between 50 and 400 and source between 'common_crawl' and 'github'"
+        )
+        assert got.count() == exp.count()
+        assert sorted(got.columns) == sorted(src.columns)
+
+    def test_single_tuple_still_accepted(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 400, 10)
+        encode_table(spark, src, out, key="doc_id", n_chunks=3)
+        got = decode_table(spark, out, where=("n_tok", 0, 100))
+        assert got.count() == src.filter("n_tok between 0 and 100").count()
+
+
+class TestSnapshots:
+    """Versioned commits, time travel, GC retention, expiry."""
+
+    def _build(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        a = _tbl(spark, 700, 1)
+        encode_table(spark, a, out, key="doc_id", n_chunks=4, track_snapshots=True)
+        b = _tbl(spark, 300, 2, prefix="B")
+        encode_append(spark, b, out, generation=1)
+        delete_rows(spark, out, where=("n_tok", 0, 60))
+        return out, a, b
+
+    def test_versions_accrue_per_verb(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+
+        out, _a, _b = self._build(spark, tmp_path)
+        got = snaps.list_snapshots(out)
+        assert [m["version"] for m in got] == [1, 2, 3]
+        assert [m["verb"] for m in got] == ["encode", "append", "delete"]
+
+    def test_as_of_reproduces_history(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        out, a, b = self._build(spark, tmp_path)
+        assert decode_table(spark, out, as_of=1).count() == 700
+        assert decode_table(spark, out, as_of=2).count() == 1000
+        v2 = decode_table(spark, out, as_of=2)
+        exp = a.unionAll(b)
+        assert (
+            v2.select("doc_id", "n_tok").exceptAll(exp.select("doc_id", "n_tok")).count()
+            == 0
+        )
+        n_live = decode_table(spark, out).count()
+        assert decode_table(spark, out, as_of=3).count() == n_live
+
+    def test_as_of_with_pruning(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        out, a, _b = self._build(spark, tmp_path)
+        got = decode_table(spark, out, as_of=1, where=("n_tok", 0, 60))
+        assert got.count() == a.filter("n_tok between 0 and 60").count()
+
+    def test_gc_honors_retention_then_expiry_frees(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import gc_superseded
+
+        out, _a, _b = self._build(spark, tmp_path)
+        n_pre = decode_table(spark, out, as_of=2).count()
+        assert gc_superseded(out, spark) == 0  # all superseded chunks retained
+        assert decode_table(spark, out, as_of=2).count() == n_pre
+        expired = snaps.expire_snapshots(out, keep_last=1)
+        assert expired == [1, 2]
+        assert gc_superseded(out, spark) > 0
+        live = decode_table(spark, out)
+        assert live.filter("n_tok between 0 and 60").count() == 0
+        with pytest.raises(ValueError, match="not found"):
+            decode_table(spark, out, as_of=2).count()
+
+    def test_untracked_table_has_no_snapshots(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 200, 4), out, key="doc_id", n_chunks=2)
+        assert snaps.list_snapshots(out) == []
+        assert not snaps.tracking_enabled(out)
+        with pytest.raises(ValueError, match="does not track"):
+            decode_table(spark, out, as_of=1).count()
+
+    def test_crashed_snapshot_write_is_ignored_and_skipped(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 300, 6), out, key="doc_id", n_chunks=2,
+            track_snapshots=True,
+        )
+        # simulate a crash: data dir exists, marker never committed
+        import pathlib
+
+        (pathlib.Path(out) / "_snapshots" / "v000002").mkdir()
+        assert [m["version"] for m in snaps.list_snapshots(out)] == [1]
+        delete_rows(spark, out, where=("n_tok", 0, 10))
+        # next commit allocates PAST the orphan dir
+        assert [m["version"] for m in snaps.list_snapshots(out)] == [1, 3]
+
+    def test_expire_keep_last_validation(self, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+
+        with pytest.raises(ValueError, match="keep_last"):
+            snaps.expire_snapshots(str(tmp_path), keep_last=0)
+
+
+class TestTableStats:
+    def test_exact_stats_match_data(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import table_stats
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 900, 21)
+        encode_table(spark, src, out, key="doc_id", n_chunks=5)
+        st = table_stats(spark, out)
+        row = src.agg(
+            F.count("*"), F.min("n_tok"), F.max("n_tok"),
+            F.min("doc_id"), F.max("doc_id"), F.min("source"), F.max("source"),
+        ).collect()[0]
+        assert st["n_rows"] == row[0]
+        assert st["n_chunks"] == 5
+        nt = st["columns"]["n_tok"]
+        assert (nt["min"], nt["max"], nt["exact"]) == (row[1], row[2], True)
+        di = st["columns"]["doc_id"]
+        assert (di["min"], di["max"], di["exact"]) == (row[3], row[4], True)
+        so = st["columns"]["source"]
+        assert (so["min"], so["max"], so["exact"]) == (row[5], row[6], True)
+        # array column: no min/max stats, marked inexact, still listed
+        assert st["columns"]["tokens"]["exact"] is False
+
+    def test_stats_track_lifecycle(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, table_stats,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 500, 22), out, key="doc_id", n_chunks=3)
+        encode_append(spark, _tbl(spark, 250, 23, prefix="B"), out, generation=1)
+        delete_rows(spark, out, where=("n_tok", 0, 100))
+        st = table_stats(spark, out, columns=["n_tok"])
+        live = decode_table(spark, out)
+        row = live.agg(F.count("*"), F.min("n_tok"), F.max("n_tok")).collect()[0]
+        assert st["n_rows"] == row[0]
+        nt = st["columns"]["n_tok"]
+        # post-delete rewritten chunks re-record exact stats
+        assert (nt["min"], nt["max"], nt["exact"]) == (row[1], row[2], True)
+
+    def test_unknown_column_raises(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import table_stats
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 100, 24), out, key="doc_id", n_chunks=1)
+        with pytest.raises(KeyError, match="nope"):
+            table_stats(spark, out, columns=["nope"])
+
+    def test_serial_and_none_spark_agree(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import table_stats
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 300, 25), out, key="doc_id", n_chunks=4)
+        a = table_stats(spark, out)
+        b = table_stats(None, out)
+        assert a == b
+
+
+class TestDistributedPaths:
+    """Force the distributed sidecar-scan branch (threshold monkeypatch)
+    and re-verify snapshot + stats + key_in semantics agree with the
+    serial branch."""
+
+    @pytest.fixture()
+    def low_threshold(self, monkeypatch):
+        from mojap_arrow_pd_parser_spark.operators import encode
+
+        monkeypatch.setattr(encode, "_DISTRIBUTED_SCAN_MIN", 1)
+        yield
+
+    def test_snapshot_write_and_read_distributed(
+        self, spark, tmp_path, low_threshold
+    ):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 400, 31), out, key="doc_id", n_chunks=4,
+            track_snapshots=True,
+        )
+        delete_rows(spark, out, where=("n_tok", 0, 50))
+        assert [m["version"] for m in snaps.list_snapshots(out)] == [1, 2]
+        assert decode_table(spark, out, as_of=1).count() == 400
+
+    def test_stats_and_key_in_distributed(self, spark, tmp_path, low_threshold):
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            decode_table, table_stats,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 400, 32)
+        encode_table(spark, src, out, key="doc_id", n_chunks=4)
+        st = table_stats(spark, out)
+        row = src.agg(F.count("*"), F.min("n_tok"), F.max("n_tok")).collect()[0]
+        assert st["n_rows"] == row[0]
+        assert st["columns"]["n_tok"] == {
+            "min": row[1], "max": row[2], "exact": True,
+        }
+        k = src.limit(1).collect()[0].doc_id
+        assert decode_table(spark, out, key_in=[k]).count() == 1
