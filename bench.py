@@ -596,6 +596,44 @@ def main() -> None:
         ),
     )
 
+    # --- round-7 metadata-pruning rows: a 3-key point lookup through
+    # the zone-map + per-chunk key Bloom prune vs the same lookup as a
+    # full decode + row filter (what a reader without the sidecar
+    # prune pays), and COUNT/MIN/MAX answered from the manifest alone
+    # (table_stats — zero chunk reads) on the same encoded table. ----
+    from pyspark.sql import functions as _F
+
+    from mojap_arrow_pd_parser_spark.operators.decode import (
+        _live_pruned_files, load_plan, table_stats,
+    )
+
+    n_docs_bench = bench_docs(sf)
+    probe_keys = [
+        f"doc_{i:012d}" for i in (7, n_docs_bench // 2, n_docs_bench - 1)
+    ]
+    time_op(
+        "pointlookup_bloom_sec",
+        lambda: decode_table(spark, out, key_in=probe_keys),
+    )
+    time_op(
+        "pointlookup_noprune_sec",
+        lambda: decode_table(spark, out).filter(
+            _F.col("doc_id").isin(probe_keys)
+        ),
+    )
+    kept = _live_pruned_files(
+        spark, out, load_plan(out), None, None, key_in=probe_keys
+    )
+    llm_ops["pointlookup_files_kept"] = len(kept)
+    llm_ops["pointlookup_files_total"] = 64
+    runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        st = table_stats(spark, out, columns=["n_tok", "doc_id"])
+        runs.append(time.monotonic() - t0)
+    assert st["n_rows"] == enc["rows"], (st["n_rows"], enc["rows"])
+    llm_ops["table_stats_sec"] = round(min(runs), 3)
+
     # --- ANN measured basis (re-based round 6): recall@10 + wall for
     # the IVF and RP-LSH scale paths vs the exact brute-force scan, on
     # CLUSTERED mixture-of-Gaussians embeddings. Round 5 benched on the

@@ -783,6 +783,39 @@ def decode_rows_df(
     return enc.mapInArrow(decode_partition, schema=out_schema)
 
 
+def decode_files(
+    spark: SparkSession,
+    out_dir: str,
+    files: list[str],
+    columns: list[str] | None = None,
+    verify_checksums: bool = True,
+) -> DataFrame:
+    """Decode an explicit subset of chunk FILES (names relative to
+    ``<out_dir>/chunks``) — the incremental-scan primitive: snapshot
+    diffs (:func:`snapshots.table_changes`) decode only the chunks
+    whose membership changed between two versions, never the rest of
+    the table. No liveness/zone logic here; the caller owns the file
+    list."""
+    plan = load_plan(out_dir)
+    full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
+    names = columns or [f.name for f in full_schema.fields]
+    out_schema = StructType([f for f in full_schema.fields if f.name in names])
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    paths = [fsio.join(out_dir, "chunks", f) for f in files]
+    from .encode import jvm_handles_scheme
+
+    if jvm_handles_scheme(spark, out_dir):
+        enc = (
+            spark.read.parquet(*paths)
+            .filter(F.col("column").isin(names))
+            .select("chunk_id", "column", "meta", "payload", "crc32")
+        )
+    else:
+        enc = _read_enc_rows_arrow(spark, paths, names)
+    return decode_rows_df(enc, out_schema, verify_checksums)
+
+
 def _contains_map(dt) -> bool:
     from pyspark.sql.types import ArrayType, MapType, StructType
 

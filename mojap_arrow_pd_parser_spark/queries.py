@@ -2825,6 +2825,11 @@ def q61_time_travel_suite(spark, sf):
     - ``stats``: ``table_stats`` COUNT/MIN/MAX answered from the
       manifest alone (zero chunk reads) — oracle recomputes them from
       the data.
+    - ``cdc_insert`` / ``cdc_delete``: ``table_changes`` incremental
+      reads (v1→v2 must be exactly the appended batch as inserts;
+      v2→v3 exactly the deleted rows as deletes, with rows merely
+      moved by the rewrite cancelling) — oracle recomputes both change
+      sets from the sources.
     """
     import shutil
 
@@ -2866,6 +2871,18 @@ def q61_time_travel_suite(spark, sf):
 
     tt = agg(decode_table(spark, enc, as_of=2), "timetravel")
     pl = agg(decode_table(spark, enc, key_in=list(_Q61_PROBES)), "pointlookup")
+    from .operators.snapshots import table_changes
+
+    ci = agg(
+        table_changes(spark, enc, 1, 2)
+        .filter("_change = 'insert'").drop("_change"),
+        "cdc_insert",
+    )
+    cd = agg(
+        table_changes(spark, enc, 2, 3)
+        .filter("_change = 'delete'").drop("_change"),
+        "cdc_delete",
+    )
     st = table_stats(spark, enc, columns=["doc_id"])
     di = st["columns"]["doc_id"]
     stats_df = spark.createDataFrame(
@@ -2873,7 +2890,10 @@ def q61_time_travel_suite(spark, sf):
         "stage string, source string, n_docs long, sum_tok long, "
         "tok_value_sum long, doc_min string, doc_max string",
     )
-    return tt.unionByName(pl).unionByName(stats_df).orderBy("stage", "source")
+    return (
+        tt.unionByName(pl).unionByName(ci).unionByName(cd)
+        .unionByName(stats_df).orderBy("stage", "source")
+    )
 
 
 _Q61_IN = ", ".join(f"'{p}'" for p in _Q61_PROBES)
@@ -2896,6 +2916,18 @@ SELECT 'pointlookup', source, COUNT(*),
        CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT),
        MIN(doc_id), MAX(doc_id)
 FROM live WHERE doc_id IN ({_Q61_IN}) GROUP BY source
+UNION ALL
+SELECT 'cdc_insert', source, COUNT(*),
+       CAST(SUM(n_tok) AS BIGINT),
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM read_parquet('{ARTIFACT_DIR}/q61_src1/*.parquet') GROUP BY source
+UNION ALL
+SELECT 'cdc_delete', source, COUNT(*),
+       CAST(SUM(n_tok) AS BIGINT),
+       CAST(SUM(CAST(list_sum(tokens) AS BIGINT)) AS BIGINT),
+       MIN(doc_id), MAX(doc_id)
+FROM u WHERE n_tok BETWEEN 100 AND 260 GROUP BY source
 UNION ALL
 SELECT 'stats', '_table', COUNT(*), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), MIN(doc_id), MAX(doc_id)

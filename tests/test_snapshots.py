@@ -299,6 +299,108 @@ class TestSnapshots:
             snaps.expire_snapshots(str(tmp_path), keep_last=0)
 
 
+class TestTableChanges:
+    """Incremental/CDC reads between snapshots: only membership-diff
+    chunks decode; rows merely MOVED by a rewrite cancel out."""
+
+    def test_append_yields_pure_inserts(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 500, 1), out, key="doc_id", n_chunks=4,
+            track_snapshots=True,
+        )
+        b = _tbl(spark, 200, 2, prefix="B")
+        encode_append(spark, b, out, generation=1)
+        ch = snaps.table_changes(spark, out, 1, 2)
+        assert ch.filter("_change = 'delete'").count() == 0
+        ins = ch.filter("_change = 'insert'").drop("_change")
+        assert ins.count() == 200
+        assert ins.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+    def test_delete_yields_pure_deletes_with_rewrite_cancellation(
+        self, spark, tmp_path
+    ):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 600, 3)
+        encode_table(
+            spark, src, out, key="doc_id", n_chunks=4, track_snapshots=True
+        )
+        delete_rows(spark, out, where=("n_tok", 50, 300))
+        ch = snaps.table_changes(spark, out, 1, 2)
+        # survivors in the rewritten chunks moved files but must cancel
+        assert ch.filter("_change = 'insert'").count() == 0
+        dels = ch.filter("_change = 'delete'")
+        assert dels.count() == src.filter("n_tok between 50 and 300").count()
+
+    def test_upsert_shows_delete_insert_pairs(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, upsert_rows,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 300, 4)
+        encode_table(
+            spark, src, out, key="doc_id", n_chunks=3, track_snapshots=True
+        )
+        upd = (
+            src.orderBy("doc_id").limit(10)
+            .withColumn("n_tok", F.col("n_tok") + 1)
+        )
+        new = _tbl(spark, 5, 5, prefix="NEW")
+        upsert_rows(spark, upd.unionAll(new), out, generation=1)
+        ch = snaps.table_changes(spark, out, 1, 2)
+        assert ch.filter("_change = 'insert'").count() == 15
+        dels = ch.filter("_change = 'delete'")
+        assert dels.count() == 10  # old payloads of the updated keys
+        assert (
+            dels.select("doc_id")
+            .exceptAll(upd.select("doc_id"))
+            .count() == 0
+        )
+
+    def test_compaction_is_invisible(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            compact_chunks, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 400, 6), out, key="doc_id", n_chunks=8,
+            track_snapshots=True,
+        )
+        compact_chunks(spark, out, min_rows=10**9, gc=False)
+        versions = [m["version"] for m in snaps.list_snapshots(out)]
+        assert len(versions) == 2
+        ch = snaps.table_changes(spark, out, versions[0], versions[1])
+        assert ch.count() == 0
+
+    def test_bad_version_args_raise(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 100, 7), out, key="doc_id", n_chunks=1,
+            track_snapshots=True,
+        )
+        with pytest.raises(ValueError, match="from_version"):
+            snaps.table_changes(spark, out, 1, 1)
+        with pytest.raises(ValueError, match="not found"):
+            snaps.table_changes(spark, out, 1, 9)
+
+
 class TestTableStats:
     def test_exact_stats_match_data(self, spark, tmp_path):
         from mojap_arrow_pd_parser_spark.operators.decode import table_stats
