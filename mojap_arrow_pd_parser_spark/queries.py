@@ -744,6 +744,44 @@ GROUP BY source ORDER BY source
 """
 
 
+_Q62_LO, _Q62_HI = "doc_000000000350", "doc_000000000549"
+
+
+def q62_datasource_sql(spark, sf):
+    """SQL over the encoded table through the Spark Python DataSource
+    (sources/datasource.py): a temp view ``USING mojap_encoded`` on
+    the q20 artifact table, queried with a doc_id range predicate that
+    Catalyst pushes into the reader (zone-map chunk pruning) and ALSO
+    re-applies post-scan — the oracle recomputes the aggregate from
+    the untouched source parquet, so a pushdown that dropped or
+    duplicated rows mismatches."""
+    from .sources.datasource import register
+
+    _src, enc_dir, _dec = _ensure_q20_artifacts(spark)
+    register(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW q62_enc "
+        f"USING mojap_encoded OPTIONS (path '{enc_dir}')"
+    )
+    return spark.sql(
+        f"""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        FROM q62_enc
+        WHERE doc_id BETWEEN '{_Q62_LO}' AND '{_Q62_HI}'
+        GROUP BY source ORDER BY source
+        """
+    )
+
+
+SQL_Q62 = f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM read_parquet('{ARTIFACT_DIR}/q20_src/*.parquet')
+WHERE doc_id BETWEEN '{_Q62_LO}' AND '{_Q62_HI}'
+GROUP BY source ORDER BY source
+"""
+
+
 def q32_lsh_neardup_pairs(spark, sf):
     """Embedding near-dup mining, the 100-TB shape: within-bucket
     pairs only (equi-join on the hyperplane signature), exact cosine
@@ -2985,7 +3023,11 @@ def q31_pruned_decode_suite(spark, sf):
         "price_scaled_sum",
     )
     d = conform(q49_timestamp_pruned_decode(spark, sf), "timestamp", "ts_min", "ts_max")
-    return a.unionByName(b).unionByName(c).unionByName(d).orderBy("facet", "source")
+    e = conform(q62_datasource_sql(spark, sf), "sql_pushdown", "sum_tok", None)
+    return (
+        a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .orderBy("facet", "source")
+    )
 
 
 SQL_Q31_SUITE = f"""
@@ -3002,6 +3044,10 @@ FROM ({SQL_Q48})
 UNION ALL
 SELECT 'timestamp', source, n_docs, ts_min, ts_max
 FROM ({SQL_Q49})
+UNION ALL
+SELECT 'sql_pushdown', source, n_docs, CAST(sum_tok AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ({SQL_Q62})
 ORDER BY facet, source
 """
 
