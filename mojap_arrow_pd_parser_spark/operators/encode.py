@@ -587,6 +587,7 @@ def encode_table(
     chunk_base: int = 0,
     pending: str | None = None,
     track_snapshots: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir`` (chunks/ + manifest/); returns manifest DF.
 
@@ -617,6 +618,13 @@ def encode_table(
     (persisted into plan.json, so appends/deletes/upserts/compactions
     inherit it): every committed verb records its live view, readable
     with ``decode_table(as_of=version)`` — see operators/snapshots.py.
+
+    ``cluster_by=[cols]`` switches to Z-ORDER chunking (the lakehouse
+    OPTIMIZE ZORDER BY analog, plans/chunking.make_zorder_plan): chunk
+    membership follows the Morton interleave of the columns' quantile
+    ranks, so every listed column gets a partially tight per-chunk
+    zone map and ``decode_table(where=...)`` / DataSource SQL pushdown
+    prune on ANY of them. Same shuffle count, same resume contract.
     """
     fsio.makedirs(fsio.join(out_dir, "chunks"))
     fsio.makedirs(fsio.join(out_dir, "manifest"))
@@ -627,7 +635,8 @@ def encode_table(
     if pending:
         fsio.makedirs(sidecar_dir)
     plan = load_or_make_plan(
-        spark, df, out_dir, key, n_chunks, seed=seed, partition_col=partition_col
+        spark, df, out_dir, key, n_chunks, seed=seed,
+        partition_col=partition_col, cluster_by=cluster_by,
     )
     plan_dirty = False
     if "schema_json" not in plan:

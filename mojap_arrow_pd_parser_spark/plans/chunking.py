@@ -143,6 +143,158 @@ def make_partitioned_plan(
     }
 
 
+def make_zorder_plan(
+    df: DataFrame,
+    key: str,
+    cluster_by: list[str],
+    n_chunks: int,
+    seed: int = 42,
+    bits_per_col: int = 8,
+) -> dict:
+    """Multi-column Z-ORDER clustering plan (the lakehouse OPTIMIZE
+    ZORDER BY analog — Delta/Iceberg use the same construction): each
+    cluster column is rank-coded through its own sampled quantile cut
+    points (``2^bits_per_col`` buckets — quantile, not min-max, so
+    skewed columns still spread), the per-column ranks bit-interleave
+    into one Morton/Z value, and chunk boundaries are quantiles of the
+    SAMPLED Z values.
+
+    Why: range-partitioning on one key gives tight zone maps for that
+    key only; Z-ordering gives every cluster column a *partially*
+    tight per-chunk [min, max], so ``decode_table(where=...)`` (and
+    SQL pushdown through the DataSource) prunes on ANY of them —
+    multi-dimensional pruning from the same one-shuffle encode.
+    Pruning power degrades gracefully with dimension count (~N^(1/k)
+    of chunks survive a point predicate on one of k columns).
+
+    The plan persists the cut points and Z boundaries, so chunk
+    identity stays deterministic across restarts (same resume contract
+    as the range plan). Assignment is one vectorized mapInArrow pass
+    (numpy searchsorted per column + bit interleave) — the boundary
+    arrays ride the task binary, nothing in the SQL plan.
+    """
+    if not cluster_by:
+        raise ValueError("cluster_by must name at least one column")
+    if not 1 <= bits_per_col <= 16:
+        raise ValueError(f"bits_per_col must be in [1, 16], got {bits_per_col}")
+    for c in cluster_by:
+        if c not in df.columns:
+            raise KeyError(f"cluster_by column {c!r} not in the DataFrame")
+    import numpy as np
+
+    n_rows = df.count()
+    n_levels = 1 << bits_per_col
+    frac = min(1.0, _SAMPLE_TARGET / max(n_rows, 1))
+    pdf = df.select(*cluster_by).sample(fraction=frac, seed=seed).toPandas()
+    if len(pdf) == 0:
+        pdf = df.select(*cluster_by).limit(1000).toPandas()
+    col_cuts: dict[str, list] = {}
+    ranks = []
+    for c in cluster_by:
+        vals = sorted(v for v in pdf[c].tolist() if v is not None)
+        cuts = sorted({
+            _json_safe_boundary(vals[int(len(vals) * i / n_levels)])
+            for i in range(1, n_levels)
+        }) if vals else []
+        col_cuts[c] = cuts
+        col_vals = pdf[c].tolist()
+        valid = np.array([v is not None for v in col_vals])
+        r = np.zeros(len(col_vals), dtype=np.uint64)
+        if cuts and valid.any():
+            arr = np.array(
+                [v for v in col_vals if v is not None], dtype=object
+            )
+            r[valid] = np.searchsorted(
+                np.array(cuts, dtype=object), arr, side="right"
+            ).astype(np.uint64)
+        ranks.append(r)
+    z = _interleave_ranks(ranks, bits_per_col)
+    z.sort()
+    zb = sorted({
+        int(z[int(len(z) * i / n_chunks)]) for i in range(1, n_chunks)
+    }) if len(z) else []
+    return {
+        "version": 1,
+        "mode": "zorder",
+        "key": key,
+        "key_type": df.schema[key].dataType.simpleString()
+        if key in df.columns else None,
+        "cluster_by": list(cluster_by),
+        "col_cuts": col_cuts,
+        "col_types": {
+            c: df.schema[c].dataType.simpleString() for c in cluster_by
+        },
+        "bits_per_col": bits_per_col,
+        "boundaries": zb,
+        "n_chunks": len(zb) + 1,
+        "n_rows": n_rows,
+        "seed": seed,
+    }
+
+
+def _interleave_ranks(ranks: list, bits_per_col: int):
+    """Vectorized Morton interleave: bit i of column c lands at
+    position i * n_cols + c (LSB-first), so every column contributes
+    equally at every scale."""
+    import numpy as np
+
+    n_cols = len(ranks)
+    z = np.zeros(len(ranks[0]) if ranks else 0, dtype=np.uint64)
+    for i in range(bits_per_col):
+        for c, r in enumerate(ranks):
+            z |= ((r >> np.uint64(i)) & np.uint64(1)) << np.uint64(
+                i * n_cols + c
+            )
+    return z
+
+
+def _assign_buckets_zorder(df: DataFrame, plan: dict, col_name: str) -> DataFrame:
+    """One vectorized Arrow pass: per-column rank via searchsorted over
+    the persisted cut points, Morton interleave, then searchsorted
+    over the persisted Z boundaries. Null column values rank 0
+    (deterministic, matches the plan sample's treatment)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cluster_by = plan["cluster_by"]
+    col_cuts = plan["col_cuts"]
+    bits = int(plan["bits_per_col"])
+    zb = plan["boundaries"]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(col_name, T.IntegerType())]
+    )
+
+    def assign(batches):
+        cuts_np: dict = {}
+        zb_np = np.array(zb, dtype=np.uint64)
+        for batch in batches:
+            ranks = []
+            for c in cluster_by:
+                col = batch.column(c)
+                if c not in cuts_np:
+                    raw = col_cuts[c]
+                    cuts_np[c] = (
+                        pa.array(raw).cast(col.type)
+                        .to_numpy(zero_copy_only=False)
+                        if raw else None
+                    )
+                r = np.zeros(len(col), dtype=np.uint64)
+                if cuts_np[c] is not None:
+                    valid = col.is_valid().to_numpy(zero_copy_only=False)
+                    vnp = col.to_numpy(zero_copy_only=False)
+                    if valid.any():
+                        r[valid] = np.searchsorted(
+                            cuts_np[c], vnp[valid], side="right"
+                        ).astype(np.uint64)
+                ranks.append(r)
+            z = _interleave_ranks(ranks, bits)
+            idx = np.searchsorted(zb_np, z, side="right").astype("int32") \
+                if len(zb_np) else np.zeros(len(z), dtype="int32")
+            yield batch.append_column(col_name, pa.array(idx, pa.int32()))
+
+    return df.mapInArrow(assign, schema=out_schema)
+
+
 def load_or_make_plan(
     spark: SparkSession,
     df: DataFrame,
@@ -151,13 +303,18 @@ def load_or_make_plan(
     n_chunks: int,
     seed: int = 42,
     partition_col: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     from ..sources import fsio
 
     path = fsio.join(out_dir, PLAN_FILE)
     if fsio.exists(path):
         return fsio.read_json(path)
-    if partition_col:
+    if partition_col and cluster_by:
+        raise ValueError("partition_col and cluster_by are mutually exclusive")
+    if cluster_by:
+        plan = make_zorder_plan(df, key, cluster_by, n_chunks, seed=seed)
+    elif partition_col:
         plan = make_partitioned_plan(df, key, partition_col, n_chunks, seed=seed)
     else:
         plan = make_plan(df, key, n_chunks, seed=seed)
@@ -175,6 +332,8 @@ def assign_buckets(df: DataFrame, plan: dict, col_name: str = "_bucket") -> Data
     Large plans: vectorized np.searchsorted in one mapInArrow pass —
     O(log cuts) per row, no multi-megabyte literal in the query plan.
     """
+    if plan.get("mode") == "zorder":
+        return _assign_buckets_zorder(df, plan, col_name)
     if plan.get("mode") == "partition_salt":
         p = plan["partition_col"]
         key = plan["key"]

@@ -744,6 +744,73 @@ GROUP BY source ORDER BY source
 """
 
 
+def _build_q63_artifacts(spark) -> tuple[str, str]:
+    import shutil
+
+    from .datagen import tokens_table
+    from .operators.encode import encode_table
+
+    src_dir = f"{ARTIFACT_DIR}/q63_src"
+    enc_dir = f"{ARTIFACT_DIR}/q63_enc"
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    tokens_table(spark, 1000, seed=63).write.mode("overwrite").parquet(src_dir)
+    encode_table(
+        spark, spark.read.parquet(src_dir), enc_dir, key="doc_id",
+        n_chunks=8, cluster_by=["n_tok", "source"],
+    )
+    return src_dir, enc_dir
+
+
+def _ensure_q63_artifacts(spark) -> tuple[str, str]:
+    from .operators.encode import scan_done_chunks
+    from .sources import fsio
+
+    dirs = (f"{ARTIFACT_DIR}/q63_src", f"{ARTIFACT_DIR}/q63_enc")
+    try:
+        ok = (
+            len(scan_done_chunks(dirs[1])) >= 4
+            and fsio.exists(f"{dirs[0]}/_SUCCESS")
+            and fsio.read_json(fsio.join(dirs[1], "plan.json")).get("mode")
+            == "zorder"
+        )
+    except (OSError, KeyError, ValueError):
+        ok = False
+    return dirs if ok else _build_q63_artifacts(spark)
+
+
+def q63_zorder_pruned_decode(spark, sf):
+    """Z-ORDER clustered decode under oracle: the table is chunked on
+    the Morton interleave of (n_tok, source) quantile ranks
+    (plans/chunking.make_zorder_plan), then read with a conjunction
+    over BOTH cluster columns — zone maps prune on each dimension,
+    exact row filters after. The DuckDB oracle recomputes the
+    aggregate from the untouched source parquet, so pruning that drops
+    or duplicates a chunk mismatches."""
+    from .operators.decode import decode_table
+
+    src_dir, enc_dir = _ensure_q63_artifacts(spark)
+    dec = decode_table(
+        spark, enc_dir,
+        where=[("n_tok", 0, 120), ("source", "common_crawl", "github")],
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_Q63 = f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM read_parquet('{ARTIFACT_DIR}/q63_src/*.parquet')
+WHERE n_tok BETWEEN 0 AND 120 AND source BETWEEN 'common_crawl' AND 'github'
+GROUP BY source ORDER BY source
+"""
+
+
 _Q62_LO, _Q62_HI = "doc_000000000350", "doc_000000000549"
 
 
@@ -3024,9 +3091,10 @@ def q31_pruned_decode_suite(spark, sf):
     )
     d = conform(q49_timestamp_pruned_decode(spark, sf), "timestamp", "ts_min", "ts_max")
     e = conform(q62_datasource_sql(spark, sf), "sql_pushdown", "sum_tok", None)
+    g = conform(q63_zorder_pruned_decode(spark, sf), "zorder", "sum_tok", None)
     return (
         a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
-        .orderBy("facet", "source")
+        .unionByName(g).orderBy("facet", "source")
     )
 
 
@@ -3048,6 +3116,10 @@ UNION ALL
 SELECT 'sql_pushdown', source, n_docs, CAST(sum_tok AS VARCHAR),
        CAST(NULL AS VARCHAR)
 FROM ({SQL_Q62})
+UNION ALL
+SELECT 'zorder', source, n_docs, CAST(sum_tok AS VARCHAR),
+       CAST(NULL AS VARCHAR)
+FROM ({SQL_Q63})
 ORDER BY facet, source
 """
 
