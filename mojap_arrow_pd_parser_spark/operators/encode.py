@@ -1540,6 +1540,148 @@ def upsert_rows(
     return result
 
 
+def rewrite_clustered(
+    spark: SparkSession,
+    out_dir: str,
+    cluster_by: list[str],
+    n_chunks: int | None = None,
+    bits_per_col: int = 8,
+    gc: bool = False,
+    consolidate: bool = True,
+) -> DataFrame:
+    """Re-cluster an EXISTING table by Z-order — the lakehouse
+    ``OPTIMIZE ... ZORDER BY`` verb: decode the live view, re-chunk on
+    the Morton interleave of ``cluster_by``'s quantile ranks
+    (plans/chunking.make_zorder_plan), and atomically replace the old
+    chunk set, so ``decode_table(where=...)`` / DataSource SQL prune
+    on ANY cluster column from then on.
+
+    Atomicity rides the same staging + commit-marker machinery as
+    MERGE (:func:`upsert_rows`): new chunks + sidecars stage invisibly
+    under ``_staging/zorder<base>/``; the retirement of ALL old chunks
+    is round-robin distributed across the new sidecars' ``replaces``
+    lists (no single multi-MB sidecar at 10^6 chunks); ONE
+    ``_commits/zorder<base>.json`` write flips the whole rewrite
+    visible. A reader at any moment sees the old clustering or the
+    new, never a mix. A crashed uncommitted attempt is invisible and
+    cleaned by the next run; a crashed committed attempt finishes its
+    sidecar migration on the next verb.
+
+    New chunk ids come from the rewrite zone (same as compaction /
+    DELETE), so they can never collide with a half-finished
+    generation's resume range. The table plan is untouched except an
+    informational ``clustered_by`` key — later appends keep landing on
+    their generation grid (their zone maps are their own; re-run this
+    verb to fold them into the clustering).
+
+    Scale shape: one decode + one hash shuffle on the z-bucket + one
+    streaming encode pass — the exact cost of the original encode; the
+    driver touches only sidecar metadata.
+    """
+    from ..plans.chunking import make_zorder_plan
+
+    plan_path = fsio.join(out_dir, "plan.json")
+    if not fsio.exists(plan_path):
+        raise FileNotFoundError(f"{out_dir} is not an encoded table")
+    plan = fsio.read_json(plan_path)
+    _fold_committed_staging(out_dir)
+    # clear crashed uncommitted zorder attempts (invisible, unreferenced)
+    for d in fsio.list_dirs(fsio.join(out_dir, "_staging")):
+        if d.startswith("zorder") and not fsio.exists(
+            fsio.join(out_dir, "_commits", f"{d}.json")
+        ):
+            fsio.delete_dir(fsio.join(out_dir, "_staging", d))
+
+    done = scan_done_chunks(out_dir, spark, columns=())
+    old_ids = sorted(live_chunks(done))
+    if not old_ids:
+        raise ValueError(f"{out_dir} has no live chunks to re-cluster")
+    n_out = n_chunks or len(old_ids)
+    base = _next_rewrite_id(done)
+    top = (max(done) // GENERATION_STRIDE) * GENERATION_STRIDE
+    if base + n_out > top + GENERATION_STRIDE:
+        raise RuntimeError(
+            f"rewrite-id zone cannot hold {n_out} re-clustered chunks; "
+            "append a new generation to open a fresh zone first"
+        )
+    from .decode import decode_table
+
+    df = decode_table(spark, out_dir)
+    key = plan.get("key") or ""
+    zplan = make_zorder_plan(
+        df, key, cluster_by, n_out, bits_per_col=bits_per_col
+    )
+    token = f"zorder{base}"
+    staging_dir = fsio.join(out_dir, "_staging", token)
+    fsio.makedirs(staging_dir)
+    chunks_dir = fsio.join(out_dir, "chunks")
+
+    from ..plans.chunking import assign_buckets
+
+    bdf = assign_buckets(df, zplan).withColumn(
+        "_bucket", (F.col("_bucket") + F.lit(int(base))).cast("int")
+    )
+
+    def encode_partition(batches):
+        from .regroup import iter_contiguous_groups
+
+        for chunk_id, part in iter_contiguous_groups(batches, "_bucket"):
+            part = part.drop_columns(["_bucket"])
+            enc, manifest = encode_chunk_table(part, int(chunk_id), key)
+            fname = f"chunk-{int(chunk_id):05d}.parquet"
+            manifest["file"] = fname
+            manifest["file_bytes"] = fsio.write_parquet_atomic(
+                enc, fsio.join(chunks_dir, fname)
+            )
+            fsio.write_json_atomic(
+                fsio.join(staging_dir, f"{int(chunk_id):05d}.json"), manifest
+            )
+            manifest.pop("file_bytes")
+            manifest.pop("col_stats", None)
+            manifest.pop("key_bloom", None)
+            yield _manifest_batch(manifest).to_batches()[0]
+
+    (
+        bdf.repartition(int(zplan["n_chunks"]), "_bucket")
+        .sortWithinPartitions("_bucket")
+        .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
+        .count()  # materialize the staged encode
+    )
+
+    # distribute the old-chunk retirement across the staged sidecars
+    staged = sorted(
+        fn for fn, _sz in fsio.list_files(staging_dir) if fn.endswith(".json")
+    )
+    if not staged:
+        raise RuntimeError(
+            f"re-cluster of {out_dir} produced no chunks for "
+            f"{len(old_ids)} live inputs"
+        )
+    for i, fn in enumerate(staged):
+        sl = old_ids[i::len(staged)]
+        if not sl:
+            continue
+        m = fsio.read_json(fsio.join(staging_dir, fn))
+        m["replaces"] = [int(x) for x in sl]
+        fsio.write_json_atomic(fsio.join(staging_dir, fn), m)
+
+    plan["clustered_by"] = list(cluster_by)
+    fsio.write_json_atomic(plan_path, plan)
+    fsio.makedirs(fsio.join(out_dir, "_commits"))
+    fsio.write_json_atomic(
+        fsio.join(out_dir, "_commits", f"{token}.json"),
+        {"rewrite_base": int(base), "cluster_by": list(cluster_by)},
+    )
+    _fold_committed_staging(out_dir)
+    result = _finish_encode(
+        spark, spark.createDataFrame([], MANIFEST_SCHEMA), out_dir,
+        consolidate, verb="rewrite_clustered",
+    )
+    if gc:
+        gc_superseded(out_dir, spark)
+    return result
+
+
 def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     """Delete sidecars+files of chunks superseded by verified
     compacted chunks. Pure garbage collection: the read view already

@@ -141,3 +141,72 @@ class TestZorderEncode:
                 n_chunks=2, partition_col="source",
                 cluster_by=["n_tok"],
             )
+
+
+class TestRewriteClustered:
+    """OPTIMIZE ZORDER BY on an existing table: atomic re-cluster via
+    the staging + commit-marker machinery."""
+
+    def test_recluster_enables_pruning_and_roundtrips(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            _live_pruned_files, decode_table, load_plan, verify_roundtrip,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, live_chunks, rewrite_clustered, scan_sidecars,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 2000)
+        encode_table(spark, src, out, key="doc_id", n_chunks=16)
+        plan = load_plan(out)
+        before = _live_pruned_files(None, out, plan, None, [("n_tok", 0, 30)])
+        rewrite_clustered(spark, out, ["n_tok", "source"], n_chunks=16)
+        plan2 = load_plan(out)
+        assert plan2["clustered_by"] == ["n_tok", "source"]
+        after = _live_pruned_files(None, out, plan2, None, [("n_tok", 0, 30)])
+        # doc_id hashes are independent of n_tok, so the range-keyed
+        # layout cannot prune an n_tok slice; the re-clustered one must
+        assert len(after) < len(before)
+        assert len(after) <= len(before) / 2
+        assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+        n_live = len(live_chunks(scan_sidecars(out)))
+        assert n_live <= 16  # old chunks retired atomically
+
+    def test_gc_after_recluster_keeps_table_exact(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import verify_roundtrip
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, gc_superseded, rewrite_clustered,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 600)
+        encode_table(spark, src, out, key="doc_id", n_chunks=6)
+        rewrite_clustered(spark, out, ["n_tok"], n_chunks=6, gc=True)
+        assert gc_superseded(out, spark) == 0  # gc=True already ran
+        assert verify_roundtrip(spark, src, out)["mismatches"] == 0
+
+    def test_recluster_is_cdc_invisible(self, spark, tmp_path):
+        """A pure re-cluster moves rows without changing them — the
+        incremental reader must see ZERO changes across it."""
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_table, rewrite_clustered,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 500), out, key="doc_id", n_chunks=4,
+            track_snapshots=True,
+        )
+        rewrite_clustered(spark, out, ["n_tok"], n_chunks=4)
+        vs = [m["version"] for m in snaps.list_snapshots(out)]
+        assert len(vs) == 2
+        assert snaps.table_changes(spark, out, vs[0], vs[1]).count() == 0
+
+    def test_empty_table_raises(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            rewrite_clustered,
+        )
+
+        with pytest.raises(FileNotFoundError):
+            rewrite_clustered(spark, str(tmp_path / "nope"), ["n_tok"])
