@@ -43,6 +43,8 @@ def decode_table(
     where: tuple | list | None = None,
     key_in: list | None = None,
     as_of: int | None = None,
+    where_null: list[str] | None = None,
+    where_not_null: list[str] | None = None,
 ) -> DataFrame:
     """Decode an encoded table back to its original schema (lazy).
 
@@ -81,9 +83,17 @@ def decode_table(
     of that committed version — deletes/upserts/compactions since are
     invisible. Requires the table to track snapshots and the version
     to not be expired; zone-map/bloom pruning applies as usual.
+
+    ``where_null`` / ``where_not_null`` are IS NULL / IS NOT NULL
+    filters by column name: chunks whose recorded per-column null
+    count (sidecar ``col_nulls``) PROVES no match are never scanned —
+    an ``IS NULL`` probe on a schema-evolved column touches only the
+    pre-evolution chunks — then the exact row filter applies.
     """
     plan = load_plan(out_dir)
     wheres = _norm_wheres(where)
+    nulls_w = list(where_null or [])
+    not_nulls_w = list(where_not_null or [])
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
     key = plan.get("key")
@@ -94,8 +104,9 @@ def decode_table(
     if key_added:
         names = list(names) + [key]  # needed for the row-level filter
     where_added = list(dict.fromkeys(
-        w[0] for w in wheres if w[0] not in names
+        [w[0] for w in wheres] + nulls_w + not_nulls_w
     ))
+    where_added = [c for c in where_added if c not in names]
     names = list(names) + where_added
     out_schema = StructType([f for f in full_schema.fields if f.name in names])
 
@@ -106,7 +117,8 @@ def decode_table(
     # missing or size-mismatched is table damage — fail loudly
     # instead of silently returning fewer rows.
     keep_files = _live_pruned_files(
-        spark, out_dir, plan, key_range, wheres, key_in=key_in, as_of=as_of
+        spark, out_dir, plan, key_range, wheres, key_in=key_in, as_of=as_of,
+        where_null=nulls_w, where_not_null=not_nulls_w,
     )
     if keep_files is not None:
         if not keep_files:
@@ -158,6 +170,10 @@ def decode_table(
         decoded = decoded.drop(key)
     for col, lo, hi in wheres:
         decoded = decoded.filter(F.col(col).between(lo, hi))
+    for col in nulls_w:
+        decoded = decoded.filter(F.col(col).isNull())
+    for col in not_nulls_w:
+        decoded = decoded.filter(F.col(col).isNotNull())
     for col in where_added:  # columns pulled in only for the filter
         decoded = decoded.drop(col)
     return decoded
@@ -257,6 +273,8 @@ def _live_pruned_files(
     where: tuple | list | None,
     key_in: list | None = None,
     as_of: int | None = None,
+    where_null: list[str] | None = None,
+    where_not_null: list[str] | None = None,
 ) -> list[str] | None:
     """LIVE chunk file names surviving zone-map/bloom pruning — or,
     with ``as_of``, the SNAPSHOT's members — or ``None`` when the
@@ -337,6 +355,14 @@ def _live_pruned_files(
             ]
         for w in wheres:
             keep = [m for m in keep if _col_stats_overlap(m, w)]
+        for c in where_null or []:
+            keep = [m for m in keep if _null_count_of(m, c) != 0]
+        for c in where_not_null or []:
+            keep = [
+                m for m in keep
+                if (n := _null_count_of(m, c)) is None
+                or n < int(m.get("n_rows") or 0)
+            ]
         if in_vals:
             if len(in_vals) <= _KEY_IN_EXPR_MAX:
                 keep = [
@@ -378,7 +404,10 @@ def _live_pruned_files(
     sizes = fsio.list_files(fsio.join(out_dir, "chunks"))
     sizes_df = spark.createDataFrame(sizes, "file string, fs_bytes bigint") \
         if sizes else spark.createDataFrame([], "file string, fs_bytes bigint")
-    keep_expr = _zone_keep_expr(plan, key_range, wheres, key_in=in_vals)
+    keep_expr = _zone_keep_expr(
+        plan, key_range, wheres, key_in=in_vals,
+        where_null=where_null, where_not_null=where_not_null,
+    )
     if in_vals and probes is not None:
         keep_expr = keep_expr & _bloom_keep_udf(probes)(F.col("key_bloom"))
     marked = (
@@ -421,6 +450,21 @@ def _live_pruned_files(
         return [r["file"] for r in marked.filter("_keep").select("file").collect()]
     finally:
         marked.unpersist()
+
+
+def _null_count_of(m: dict, col: str) -> int | None:
+    """Recorded null count of ``col`` in chunk ``m``: the sidecar
+    value, the chunk's full row count when the column is absent from
+    the chunk (schema evolution reads back all-null), or None when the
+    sidecar predates null accounting (unknown -> caller keeps)."""
+    raw = m.get("col_nulls")
+    if raw is None:
+        return None
+    try:
+        d = json.loads(raw)
+        return int(d.get(col, m.get("n_rows") or 0))
+    except (TypeError, ValueError, json.JSONDecodeError):
+        return None
 
 
 def _parse_bloom(raw) -> dict | None:
@@ -525,14 +569,25 @@ def _zone_keep_expr(
     key_range: tuple | None,
     wheres: list[tuple],
     key_in: list | None = None,
+    where_null: list[str] | None = None,
+    where_not_null: list[str] | None = None,
 ):
     """Spark-side twin of the driver pruning rules: TRUE iff the chunk
     may contain matching rows. Conservative by construction — any
     null/unparseable/incomparable stat keeps the chunk (row filters
     after decode give exactness; pruning is only an optimization).
     ``wheres`` is a conjunction; ``key_in`` keeps a chunk when ANY
-    probe value may land in the chunk's typed key zone map."""
+    probe value may land in the chunk's typed key zone map;
+    ``where_null``/``where_not_null`` prune on recorded null counts."""
     keep = F.lit(True)
+    for c in where_null or []:
+        n_nulls = _null_count_expr(c)
+        keep = keep & ~F.coalesce(n_nulls == 0, F.lit(False))
+    for c in where_not_null or []:
+        n_nulls = _null_count_expr(c)
+        keep = keep & ~F.coalesce(
+            n_nulls == F.col("n_rows"), F.lit(False)
+        )
     if key_range is not None and plan.get("key_type") == "string":
         lo, hi = key_range
         disjoint = (F.col("key_max") < str(lo)) | (F.col("key_min") > str(hi))
@@ -550,6 +605,16 @@ def _zone_keep_expr(
         else:
             keep = keep & _where_keep_expr((key, vals[0], vals[-1]))
     return keep
+
+
+def _null_count_expr(col: str):
+    """Spark twin of :func:`_null_count_of`: recorded nulls, chunk row
+    count when the column is absent (evolution), NULL when the sidecar
+    predates null accounting (coalesce at the call site keeps)."""
+    raw = F.get_json_object(F.col("col_nulls"), f"$['{col}']").cast("long")
+    return F.when(
+        F.col("col_nulls").isNotNull(), F.coalesce(raw, F.col("n_rows"))
+    )
 
 
 def _where_keep_expr(where: tuple):
@@ -1099,7 +1164,20 @@ def table_stats(
         for c in cols:
             mn = mx = None
             missing = 0
+            nulls = 0
+            nulls_missing = 0
             for m in live.values():
+                raw_n = m.get("col_nulls")
+                if raw_n is None:
+                    nulls_missing += 1  # pre-round-7 sidecar
+                else:
+                    try:
+                        d = json.loads(raw_n)
+                        # a column absent from the chunk (added later
+                        # by schema evolution) reads back all-null
+                        nulls += int(d.get(c, m.get("n_rows") or 0))
+                    except (TypeError, ValueError, json.JSONDecodeError):
+                        nulls_missing += 1
                 if not m.get("n_rows"):
                     continue  # empty chunks constrain nothing
                 try:
@@ -1116,7 +1194,10 @@ def table_stats(
                 lo, hi = parsed
                 mn = lo if mn is None or lo < mn else mn
                 mx = hi if mx is None or hi > mx else mx
-            out_cols[c] = {"min": mn, "max": mx, "exact": missing == 0}
+            out_cols[c] = {
+                "min": mn, "max": mx, "exact": missing == 0,
+                "nulls": nulls, "nulls_exact": nulls_missing == 0,
+            }
         return {
             "n_rows": sum(int(m.get("n_rows") or 0) for m in live.values()),
             "n_chunks": len(live),
@@ -1142,6 +1223,25 @@ def table_stats(
         e = _stat_min_max_exprs(c, by_name[c])
         exprs[c] = e
         nonempty = F.col("n_rows") > 0
+        # null accounting: recorded count, or the chunk's full row
+        # count when the column is absent from the chunk (schema
+        # evolution); sidecars without col_nulls mark the sum inexact
+        raw_nulls = F.get_json_object(
+            F.col("col_nulls"), f"$['{c}']"
+        ).cast("long")
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("col_nulls").isNotNull(),
+                    F.coalesce(raw_nulls, F.col("n_rows")),
+                ).otherwise(0)
+            ).alias(f"_nulls_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("col_nulls").isNull(), 1).otherwise(0)
+            ).alias(f"_nmiss_{c}")
+        )
         if e is None:
             aggs.append(
                 F.sum(F.when(nonempty, 1).otherwise(0)).alias(f"_miss_{c}")
@@ -1166,8 +1266,12 @@ def table_stats(
     out_cols = {}
     for c in cols:
         exact = (row[f"_miss_{c}"] or 0) == 0
+        nulls = {
+            "nulls": int(row[f"_nulls_{c}"] or 0),
+            "nulls_exact": (row[f"_nmiss_{c}"] or 0) == 0,
+        }
         if exprs[c] is None:
-            out_cols[c] = {"min": None, "max": None, "exact": exact}
+            out_cols[c] = {"min": None, "max": None, "exact": exact, **nulls}
             continue
         mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
         if isinstance(
@@ -1176,7 +1280,7 @@ def table_stats(
             # decimal(38,0) parse -> the column's python int domain
             mn = int(mn) if mn is not None else None
             mx = int(mx) if mx is not None else None
-        out_cols[c] = {"min": mn, "max": mx, "exact": exact}
+        out_cols[c] = {"min": mn, "max": mx, "exact": exact, **nulls}
     return {
         "n_rows": int(row["_rows"] or 0),
         "n_chunks": int(row["_chunks"] or 0),

@@ -187,8 +187,10 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
     in_bytes = out_bytes = 0
     col_in_bytes = []
     col_stats: dict[str, list] = {}
+    col_nulls: dict[str, int] = {}
     for name in table.column_names:
         arr = table.column(name).combine_chunks()
+        col_nulls[name] = int(arr.null_count)
         meta, payload = encode_array(arr)
         label = _codec_label(meta)
         cols.append(name)
@@ -241,6 +243,11 @@ def encode_chunk_table(table: pa.Table, chunk_id: int, key: str) -> tuple[pa.Tab
         # consolidated MANIFEST_SCHEMA) — decode_table(where=) prunes
         # chunk files with it
         "col_stats": json.dumps(col_stats, separators=(",", ":")),
+        # per-column null counts (free: arrow tracks them): exact NULL
+        # accounting for table_stats and IS [NOT] NULL chunk pruning —
+        # pre-evolution chunks are all-null for added columns, so a
+        # sparse-column IS NULL scan prunes to just those
+        "col_nulls": json.dumps(col_nulls, separators=(",", ":")),
         "wall_ms": int((time.monotonic() - t0) * 1000),
         "status": "ok",
     }
@@ -357,7 +364,7 @@ SIDECAR_DF_SCHEMA = (
     "out_bytes bigint, codecs string, crc32 string, key_min string, "
     "key_max string, wall_ms bigint, file string, status string, "
     "file_bytes bigint, replaces array<bigint>, col_stats string, "
-    "key_bloom string"
+    "key_bloom string, col_nulls string"
 )
 
 #: below this many sidecars the serial loop wins (no job overhead);
@@ -481,6 +488,7 @@ _SIDECAR_ARROW_SCHEMA = pa.schema(
         ("replaces", pa.list_(pa.int64())),
         ("col_stats", pa.string()),
         ("key_bloom", pa.string()),
+        ("col_nulls", pa.string()),
     ]
 )
 
@@ -542,6 +550,7 @@ def _scan_sidecars_distributed(
         if m.get("col_stats") is None:
             m.pop("col_stats", None)  # pre-round-3 sidecars lack it
             m.pop("key_bloom", None)
+            m.pop("col_nulls", None)
         m["_verified"] = sizes.get(m["file"]) == m["file_bytes"]
         out[int(m["chunk_id"])] = m
     return out
@@ -706,6 +715,7 @@ def encode_table(
             manifest.pop("file_bytes")
             manifest.pop("col_stats", None)
             manifest.pop("key_bloom", None)
+            manifest.pop("col_nulls", None)
             yield _manifest_batch(manifest).to_batches()[0]
 
     mdf = (
@@ -931,6 +941,7 @@ def _finish_encode(spark, mdf, out_dir, consolidate, verb: str = "commit"):
         m.pop("replaces", None)  # compaction lineage stays sidecar-only
         m.pop("col_stats", None)  # column zone map stays sidecar-only
         m.pop("key_bloom", None)  # bloom filter stays sidecar-only
+        m.pop("col_nulls", None)
         rows.append(m)
     cons = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA) if rows else None
     if cons is None:
@@ -1043,6 +1054,7 @@ def encode_files(
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
                 manifest.pop("key_bloom", None)
+                manifest.pop("col_nulls", None)
                 yield _manifest_batch(manifest).to_batches()[0]
 
     if todo:
@@ -1159,6 +1171,7 @@ def compact_chunks(
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
                 manifest.pop("key_bloom", None)
+                manifest.pop("col_nulls", None)
                 manifest.pop("replaces")
                 yield _manifest_batch(manifest).to_batches()[0]
 
@@ -1279,6 +1292,7 @@ def delete_rows(
                 manifest.pop("file_bytes")
                 manifest.pop("col_stats", None)
                 manifest.pop("key_bloom", None)
+                manifest.pop("col_nulls", None)
                 manifest.pop("replaces")
                 yield _manifest_batch(manifest).to_batches()[0]
 
@@ -1514,6 +1528,7 @@ def upsert_rows(
                     manifest.pop("file_bytes")
                     manifest.pop("col_stats", None)
                     manifest.pop("key_bloom", None)
+                    manifest.pop("col_nulls", None)
                     manifest.pop("replaces")
                     yield _manifest_batch(manifest).to_batches()[0]
 
@@ -1639,6 +1654,7 @@ def rewrite_clustered(
             manifest.pop("file_bytes")
             manifest.pop("col_stats", None)
             manifest.pop("key_bloom", None)
+            manifest.pop("col_nulls", None)
             yield _manifest_batch(manifest).to_batches()[0]
 
     (

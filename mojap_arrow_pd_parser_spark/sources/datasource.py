@@ -61,6 +61,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -155,6 +157,8 @@ class EncodedTableReader(DataSourceReader):
         # decode_table uses
         self._bounds: dict[str, list] = {}  # col -> [lo | None, hi | None]
         self._key_in: list | None = None
+        self._null_cols: list[str] = []
+        self._not_null_cols: list[str] = []
 
     # -- pushdown ----------------------------------------------------
     def pushFilters(self, filters: list[Filter]):
@@ -180,6 +184,10 @@ class EncodedTableReader(DataSourceReader):
                     self._narrow(col, min(vals), max(vals))
                     if col == self.key:
                         self._add_key_in(vals)
+            elif isinstance(f, IsNull):
+                self._null_cols.append(col)
+            elif isinstance(f, IsNotNull):
+                self._not_null_cols.append(col)
         # every filter goes back to Spark: the scan prunes FILES, Spark
         # filters ROWS — correctness never rides on the pushdown
         return filters
@@ -235,6 +243,8 @@ class EncodedTableReader(DataSourceReader):
             self._closed_wheres(),
             key_in=self._key_in,
             as_of=self.as_of,
+            where_null=self._null_cols,
+            where_not_null=self._not_null_cols,
         )
         if files is None:  # no sidecars: serve the raw directory
             files = [

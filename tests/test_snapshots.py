@@ -507,8 +507,108 @@ class TestDistributedPaths:
         st = table_stats(spark, out)
         row = src.agg(F.count("*"), F.min("n_tok"), F.max("n_tok")).collect()[0]
         assert st["n_rows"] == row[0]
-        assert st["columns"]["n_tok"] == {
-            "min": row[1], "max": row[2], "exact": True,
-        }
+        nt = st["columns"]["n_tok"]
+        assert (nt["min"], nt["max"], nt["exact"]) == (row[1], row[2], True)
+        assert (nt["nulls"], nt["nulls_exact"]) == (0, True)
         k = src.limit(1).collect()[0].doc_id
         assert decode_table(spark, out, key_in=[k]).count() == 1
+
+
+class TestNullAccounting:
+    """Per-chunk col_nulls: exact NULL counts in table_stats and
+    IS [NOT] NULL chunk pruning — sharpest on schema-evolved tables
+    where pre-evolution chunks are all-null for the added column."""
+
+    def _evolved(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        base = _tbl(spark, 400, 51)
+        encode_table(spark, base, out, key="doc_id", n_chunks=4)
+        b = _tbl(spark, 200, 52, prefix="B").selectExpr(
+            "doc_id", "tokens", "n_tok", "source",
+            "CAST(n_tok AS DOUBLE) / 3 AS quality",
+        )
+        encode_append(spark, b, out, generation=1, allow_schema_evolution=True)
+        return out
+
+    def test_stats_null_counts_exact(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import table_stats
+
+        out = self._evolved(spark, tmp_path)
+        st = table_stats(spark, out, columns=["quality", "n_tok"])
+        q = st["columns"]["quality"]
+        assert (q["nulls"], q["nulls_exact"]) == (400, True)
+        nt = st["columns"]["n_tok"]
+        assert (nt["nulls"], nt["nulls_exact"]) == (0, True)
+
+    def test_where_null_prunes_to_pre_evolution_chunks(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import (
+            _live_pruned_files, decode_table, load_plan,
+        )
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            live_chunks, scan_sidecars,
+        )
+
+        out = self._evolved(spark, tmp_path)
+        n_live = len(live_chunks(scan_sidecars(out)))
+        plan = load_plan(out)
+        kept = _live_pruned_files(
+            None, out, plan, None, [], where_null=["quality"]
+        )
+        assert len(kept) == 4  # only the pre-evolution chunks scan
+        assert n_live > 4
+        assert decode_table(spark, out, where_null=["quality"]).count() == 400
+        got = decode_table(spark, out, where_not_null=["quality"])
+        assert got.count() == 200
+        kept_nn = _live_pruned_files(
+            None, out, plan, None, [], where_not_null=["quality"]
+        )
+        assert len(kept_nn) == n_live - 4  # all-null chunks pruned
+
+    def test_columns_projection_with_null_filter(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        out = self._evolved(spark, tmp_path)
+        got = decode_table(
+            spark, out, columns=["doc_id"], where_not_null=["quality"]
+        )
+        assert got.columns == ["doc_id"]
+        assert got.count() == 200
+
+    def test_serial_and_distributed_stats_agree(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from mojap_arrow_pd_parser_spark.operators import encode
+        from mojap_arrow_pd_parser_spark.operators.decode import table_stats
+
+        out = self._evolved(spark, tmp_path)
+        serial = table_stats(None, out, columns=["quality"])
+        monkeypatch.setattr(encode, "_DISTRIBUTED_SCAN_MIN", 1)
+        dist = table_stats(spark, out, columns=["quality"])
+        assert serial == dist
+
+    def test_datasource_is_null_pushdown(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.sources import datasource
+        from mojap_arrow_pd_parser_spark.sources.datasource import (
+            EncodedTableReader,
+        )
+        from pyspark.sql.datasource import IsNull
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        out = self._evolved(spark, tmp_path)
+        datasource.register(spark)
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW nulls_enc "
+            f"USING mojap_encoded OPTIONS (path '{out}')"
+        )
+        n = spark.sql(
+            "SELECT count(*) AS n FROM nulls_enc WHERE quality IS NULL"
+        ).collect()[0].n
+        assert n == 400
+        schema = decode_table(spark, out).schema
+        r = EncodedTableReader({"path": out}, schema)
+        r.pushFilters([IsNull(("quality",))])
+        assert len(r.partitions()) == 4
