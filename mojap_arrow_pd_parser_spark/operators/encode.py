@@ -1186,13 +1186,17 @@ def compact_chunks(
 def delete_rows(
     spark: SparkSession,
     out_dir: str,
-    where: tuple,
+    where: tuple | list,
     gc: bool = False,
     consolidate: bool = True,
 ) -> DataFrame:
     """Row-level DELETE (the lakehouse copy-on-write rewrite):
     ``where=(col, lo, hi)`` removes every row with ``col BETWEEN lo
-    AND hi`` (NULLs never match, SQL semantics).
+    AND hi`` (NULLs never match, SQL semantics). A LIST of triples is
+    a CONJUNCTION — a row is deleted only when EVERY predicate
+    matches, and each predicate prunes candidate chunks independently,
+    so a two-column delete on a Z-ordered table rewrites only the
+    chunks inside the predicate box.
 
     Candidate chunks come from the SAME zone-map prune decode uses
     (per-column typed stats; driver sees only surviving file names):
@@ -1210,11 +1214,13 @@ def delete_rows(
     Returns the new-chunk manifest DF. ``gc=True`` also deletes the
     superseded files afterwards.
     """
-    from .decode import _live_pruned_files
+    from .decode import _live_pruned_files, _norm_wheres
 
-    col, lo, hi = where
+    wheres = _norm_wheres(where)
+    if not wheres:
+        raise ValueError("delete_rows needs at least one (col, lo, hi)")
     plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
-    files = _live_pruned_files(spark, out_dir, plan, None, where)
+    files = _live_pruned_files(spark, out_dir, plan, None, wheres)
     if files is None:
         raise IOError(f"{out_dir} has no usable sidecars; cannot delete")
     done = scan_done_chunks(out_dir, spark, columns=())
@@ -1254,24 +1260,28 @@ def delete_rows(
                 table = pa.Table.from_arrays(
                     list(cols.values()), names=list(cols.keys())
                 )
-                if col not in cols:
-                    # pre-evolution chunk: the where column was added
-                    # later, every row reads as NULL for it, and NULL
-                    # never matches a BETWEEN — chunk untouched (the
-                    # zone-map prune conservatively kept it)
+                if any(c not in cols for c, _lo, _hi in wheres):
+                    # pre-evolution chunk: a predicate column was added
+                    # later, every row reads as NULL for it, NULL never
+                    # matches a BETWEEN, and the conjunction therefore
+                    # matches nothing — chunk untouched (the zone-map
+                    # prune conservatively kept it)
                     continue
-                target = table.column(col)
-                lo_s, hi_s = pa.scalar(lo), pa.scalar(hi)
-                if lo_s.type != target.type:
-                    # mistyped bounds (e.g. CLI strings vs int column):
-                    # cast rather than crash; incompatible casts raise
-                    # loudly, never silently mis-delete
-                    lo_s = lo_s.cast(target.type)
-                    hi_s = hi_s.cast(target.type)
-                matched = pc.and_kleene(
-                    pc.greater_equal(target, lo_s),
-                    pc.less_equal(target, hi_s),
-                )
+                matched = None
+                for c, lo, hi in wheres:
+                    target = table.column(c)
+                    lo_s, hi_s = pa.scalar(lo), pa.scalar(hi)
+                    if lo_s.type != target.type:
+                        # mistyped bounds (e.g. CLI strings vs int
+                        # column): cast rather than crash; incompatible
+                        # casts raise loudly, never silently mis-delete
+                        lo_s = lo_s.cast(target.type)
+                        hi_s = hi_s.cast(target.type)
+                    m = pc.and_kleene(
+                        pc.greater_equal(target, lo_s),
+                        pc.less_equal(target, hi_s),
+                    )
+                    matched = m if matched is None else pc.and_kleene(matched, m)
                 # NULL col never matches the BETWEEN -> row survives
                 keep = pc.fill_null(pc.invert(matched), True)
                 kept = table.filter(keep)

@@ -210,3 +210,52 @@ class TestRewriteClustered:
 
         with pytest.raises(FileNotFoundError):
             rewrite_clustered(spark, str(tmp_path / "nope"), ["n_tok"])
+
+
+class TestDeleteConjunction:
+    def test_two_column_delete_on_zordered_table(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 1200)
+        encode_table(
+            spark, src, out, key="doc_id", n_chunks=8,
+            cluster_by=["n_tok", "source"],
+        )
+        preds = [("n_tok", 0, 200), ("source", "github", "github")]
+        delete_rows(spark, out, preds)
+        live = decode_table(spark, out)
+        exp = src.filter(
+            "NOT (n_tok between 0 and 200 AND source = 'github')"
+        )
+        assert live.count() == exp.count()
+        assert (
+            live.select("doc_id").exceptAll(exp.select("doc_id")).count() == 0
+        )
+
+    def test_single_tuple_back_compat(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        src = _tbl(spark, 300)
+        encode_table(spark, src, out, key="doc_id", n_chunks=3)
+        delete_rows(spark, out, ("n_tok", 50, 200))
+        assert decode_table(spark, out).count() == src.filter(
+            "n_tok not between 50 and 200"
+        ).count()
+
+    def test_empty_where_raises(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(spark, _tbl(spark, 50), out, n_chunks=1)
+        with pytest.raises(ValueError, match="at least one"):
+            delete_rows(spark, out, [])
