@@ -42,7 +42,7 @@ def decode_table(
     key_range: tuple | None = None,
     where: tuple | list | None = None,
     key_in: list | None = None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
     where_null: list[str] | None = None,
     where_not_null: list[str] | None = None,
 ) -> DataFrame:
@@ -91,6 +91,10 @@ def decode_table(
     pre-evolution chunks — then the exact row filter applies.
     """
     plan = load_plan(out_dir)
+    if as_of is not None:
+        from .snapshots import resolve_version
+
+        as_of = resolve_version(out_dir, as_of)  # int or tag name
     wheres = _norm_wheres(where)
     nulls_w = list(where_null or [])
     not_nulls_w = list(where_not_null or [])

@@ -145,10 +145,66 @@ def write_snapshot(spark: SparkSession | None, out_dir: str, verb: str) -> int:
             pa.Table.from_pylist(rows, schema=_SNAP_ARROW_SCHEMA),
             fsio.join(data_dir, "snap-00000.parquet"),
         )
+    import time as _time
+
     fsio.write_json_atomic(
-        _marker_path(out_dir, version), {"version": version, "verb": verb}
+        _marker_path(out_dir, version),
+        {"version": version, "verb": verb, "ts": _time.time()},
     )
     return version
+
+
+def _tags_path(out_dir: str) -> str:
+    return fsio.join(_snap_root(out_dir), "tags.json")
+
+
+def list_tags(out_dir: str) -> dict[str, int]:
+    """Named snapshot refs (Iceberg tags): {name: version}."""
+    try:
+        raw = fsio.read_json(_tags_path(out_dir))
+        return {str(k): int(v) for k, v in raw.items()}
+    except (FileNotFoundError, OSError, json.JSONDecodeError, ValueError):
+        return {}
+
+
+def tag(out_dir: str, name: str, version: int | None = None) -> int:
+    """Point ``name`` at ``version`` (default: the latest snapshot).
+    A tagged version is PROTECTED from :func:`expire_snapshots` until
+    untagged — the release-pinning workflow (tag 'prod' at the vetted
+    version; readers use ``as_of='prod'``; expiry and GC can never
+    pull it out from under them)."""
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        raise ValueError(f"{out_dir!r} has no snapshots to tag")
+    have = [m["version"] for m in snaps]
+    v = int(version) if version is not None else have[-1]
+    if v not in have:
+        raise ValueError(f"snapshot v{v} not found (available: {have})")
+    tags = list_tags(out_dir)
+    tags[name] = v
+    fsio.write_json_atomic(_tags_path(out_dir), tags)
+    return v
+
+
+def untag(out_dir: str, name: str) -> None:
+    tags = list_tags(out_dir)
+    if name in tags:
+        del tags[name]
+        fsio.write_json_atomic(_tags_path(out_dir), tags)
+
+
+def resolve_version(out_dir: str, as_of) -> int:
+    """``as_of`` for the read paths: an int version passes through; a
+    string resolves through the tag table."""
+    if isinstance(as_of, str):
+        tags = list_tags(out_dir)
+        if as_of not in tags:
+            raise ValueError(
+                f"no snapshot tag {as_of!r} at {out_dir!r} "
+                f"(tags: {sorted(tags)})"
+            )
+        return tags[as_of]
+    return int(as_of)
 
 
 def read_snapshot_arrow(out_dir: str, version: int) -> pa.Table:
@@ -248,6 +304,8 @@ def table_changes(
     view. Raises if either version is missing/expired, or
     ``from_version >= to_version``.
     """
+    from_version = resolve_version(out_dir, from_version)
+    to_version = resolve_version(out_dir, to_version)
     if from_version >= to_version:
         raise ValueError(
             f"from_version must be < to_version, got "
@@ -278,13 +336,18 @@ def table_changes(
 def expire_snapshots(out_dir: str, keep_last: int = 1) -> list[int]:
     """Drop all but the newest ``keep_last`` snapshots (markers first,
     then data dirs — a crash mid-way leaves an orphan dir that
-    ``_next_version`` skips and a re-run finishes deleting). Returns
+    ``_next_version`` skips and a re-run finishes deleting). TAGGED
+    versions (:func:`tag`) are always kept regardless of age. Returns
     the expired versions. Expiry is what releases a snapshot's
     superseded chunks to :func:`encode.gc_superseded`."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     snaps = list_snapshots(out_dir)
-    victims = snaps[:-keep_last] if len(snaps) > keep_last else []
+    pinned = set(list_tags(out_dir).values())
+    victims = [
+        m for m in (snaps[:-keep_last] if len(snaps) > keep_last else [])
+        if m["version"] not in pinned
+    ]
     expired = []
     for m in victims:
         v = m["version"]

@@ -148,7 +148,16 @@ class EncodedTableReader(DataSourceReader):
         self.path = _require_path(options)
         self.schema = schema
         self.verify = str(options.get("verify_checksums", "true")).lower() != "false"
-        self.as_of = int(options["as_of"]) if options.get("as_of") else None
+        self.as_of = None
+        if options.get("as_of"):
+            from ..operators.snapshots import resolve_version
+
+            raw = options["as_of"]
+            try:
+                raw = int(raw)
+            except ValueError:
+                pass  # a tag name
+            self.as_of = resolve_version(self.path, raw)
         from ..operators.decode import load_plan
 
         self.plan = load_plan(self.path)

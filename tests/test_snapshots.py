@@ -612,3 +612,88 @@ class TestNullAccounting:
         r = EncodedTableReader({"path": out}, schema)
         r.pushFilters([IsNull(("quality",))])
         assert len(r.partitions()) == 4
+
+
+class TestSnapshotTags:
+    """Named snapshot refs (Iceberg tags): as_of by name, expiry
+    protection, the release-pinning workflow."""
+
+    def _table(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators.encode import (
+            delete_rows, encode_append, encode_table,
+        )
+
+        out = str(tmp_path / "enc")
+        encode_table(
+            spark, _tbl(spark, 300, 61), out, key="doc_id", n_chunks=3,
+            track_snapshots=True,
+        )
+        encode_append(spark, _tbl(spark, 100, 62, prefix="B"), out, generation=1)
+        delete_rows(spark, out, where=("n_tok", 0, 80))
+        return out
+
+    def test_tag_resolves_in_reads(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        out = self._table(spark, tmp_path)
+        assert snaps.tag(out, "prod", 2) == 2
+        assert snaps.tag(out, "latest") == 3  # default: newest
+        assert decode_table(spark, out, as_of="prod").count() == 400
+        got_t = decode_table(spark, out, as_of="latest").count()
+        assert got_t == decode_table(spark, out).count()
+        ch = snaps.table_changes(spark, out, "prod", "latest")
+        assert ch.filter("_change = 'delete'").count() > 0
+        with pytest.raises(ValueError, match="no snapshot tag"):
+            decode_table(spark, out, as_of="nope").count()
+
+    def test_tagged_version_survives_expiry(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+        from mojap_arrow_pd_parser_spark.operators.encode import gc_superseded
+
+        out = self._table(spark, tmp_path)
+        snaps.tag(out, "prod", 1)
+        expired = snaps.expire_snapshots(out, keep_last=1)
+        assert expired == [2]  # v1 pinned by the tag, v3 kept by count
+        gc_superseded(out, spark)
+        assert decode_table(spark, out, as_of="prod").count() == 300
+        snaps.untag(out, "prod")
+        assert snaps.expire_snapshots(out, keep_last=1) == [1]
+
+    def test_tag_validation(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path / "enc")
+        with pytest.raises(ValueError, match="no snapshots"):
+            snaps.tag(out, "x")
+        encode_table(
+            spark, _tbl(spark, 50, 63), out, n_chunks=1, track_snapshots=True
+        )
+        with pytest.raises(ValueError, match="not found"):
+            snaps.tag(out, "x", 9)
+
+    def test_datasource_as_of_tag(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.sources import datasource
+
+        out = self._table(spark, tmp_path)
+        snaps.tag(out, "prod", 2)
+        datasource.register(spark)
+        got = (
+            spark.read.format("mojap_encoded")
+            .option("as_of", "prod").load(out)
+        )
+        assert got.count() == 400
+
+    def test_markers_carry_timestamps(self, spark, tmp_path):
+        from mojap_arrow_pd_parser_spark.operators import snapshots as snaps
+        from mojap_arrow_pd_parser_spark.sources import fsio
+
+        out = self._table(spark, tmp_path)
+        for m in snaps.list_snapshots(out):
+            raw = fsio.read_json(
+                fsio.join(out, "_snapshots", f"v{m['version']:06d}.json")
+            )
+            assert raw.get("ts", 0) > 0
