@@ -18,9 +18,18 @@ Generalizes the schema-conformance + round-trip contract of
   JSONL / Parquet, format inference), dedup, similarity search, text
   analysis for training-data pipelines.
 * ``streaming`` — Structured Streaming encode pipeline.
+* ``operators.snapshots`` — versioned snapshots: time travel
+  (``as_of`` by version or tag), incremental/CDC reads
+  (``table_changes``), retention (``expire_snapshots`` + tag pinning).
+* ``sources.datasource`` — the ``mojap_encoded`` Spark Python
+  DataSource: SQL reads with Catalyst filter pushdown into the
+  zone-map/Bloom chunk prune, arrow-batch writes, streaming source.
+* ``table.EncodedTable`` — every verb on one handle.
 
 Everything is DataFrame API + Arrow-vectorized UDFs: zero per-row
 Python in any hot path.
 """
 
 __version__ = "0.1.0"
+
+from .table import EncodedTable  # noqa: E402,F401 (public facade)
