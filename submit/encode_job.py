@@ -56,6 +56,11 @@ def main() -> None:
     p.add_argument("--delete-where", default=None, metavar="COL,LO,HI",
                    help="row-level delete on --output (standalone: "
                         "needs no --input): delete COL BETWEEN LO AND HI")
+    p.add_argument("--cluster-by", default=None, metavar="COL[,COL...]",
+                   help="Z-order the chunks on these columns "
+                        "(multi-dimensional zone-map pruning)")
+    p.add_argument("--track-snapshots", action="store_true",
+                   help="version every commit (time travel / CDC reads)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="decode + round-trip verify after encoding")
@@ -135,6 +140,10 @@ def main() -> None:
         manifest = encode_table(
             spark, df, args.output, key=args.key, n_chunks=args.chunks,
             resume=not args.no_resume, partition_col=args.partition_col,
+            cluster_by=(
+                args.cluster_by.split(",") if args.cluster_by else None
+            ),
+            track_snapshots=args.track_snapshots,
         )
     stats = manifest.groupBy().agg(
         {"n_rows": "sum", "in_bytes": "sum", "out_bytes": "sum"}
