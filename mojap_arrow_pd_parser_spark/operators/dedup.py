@@ -95,7 +95,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    local_distinct: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per document: (id, shingle).
 
@@ -103,14 +108,31 @@ def word_shingles(
     full shuffle of the exploded shingles; operators whose aggregate
     is duplicate-insensitive (MIN for minhash) pass ``distinct=False``
     and skip that shuffle entirely.
+
+    ``local_distinct=True`` dedupes each DOCUMENT's gram array before
+    the explode (``array_distinct`` — no shuffle): duplicate-
+    insensitive consumers skip hashing repeated within-doc shingles.
+    Never set together with ``distinct`` (the global distinct already
+    subsumes it).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the split word array ONCE per row (higher-order
+    # functions run interpreted — no codegen subexpression elimination
+    # — so referencing the split-of-normalized expression inside the
+    # per-gram lambda would re-run the regex+split per ELEMENT,
+    # O(len^2) per document; same trap winnow_fingerprints documents)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
+    )
+    ws = F.col("_ws")
     # sliding n-gram via transform over index range (JVM-side, no UDF)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
-    sh = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).filter(
+    if local_distinct:
+        grams = F.array_distinct(grams)
+    sh = base.select("id", F.explode(grams).alias("shingle")).filter(
         F.length("shingle") > 0
     )
     return sh.distinct() if distinct else sh
@@ -183,11 +205,17 @@ def minhash_signatures(
     digest computations, and integer (not hex-string) min aggregates.
     ``base_hash='md5'`` gives the DuckDB-portable variant.
 
-    MIN is duplicate-insensitive, so the shingle set is NOT
+    MIN is duplicate-insensitive, so the shingle set is NOT globally
     deduplicated — that skips the distinct's full shuffle; the only
-    exchange left is the groupBy(id) partial-aggregated min.
+    exchange left is the groupBy(id) partial-aggregated min. Each
+    document's gram array IS locally deduplicated (array_distinct,
+    shuffle-free) so repeated within-doc shingles hash once — the
+    minima are unchanged (MIN over a set equals MIN over its
+    multiset), matching the oracle's DISTINCT-gram CTE.
     """
-    sh = word_shingles(df, text_col, id_col, shingle_n, distinct=False)
+    sh = word_shingles(
+        df, text_col, id_col, shingle_n, distinct=False, local_distinct=True
+    )
     h = sh.select("id", base_hash_expr(F.col("shingle"), base_hash).alias("h0"))
     aggs = [
         F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{k}")
@@ -208,8 +236,17 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: equal band signature in any band (id_a < id_b).
 
     The band key is the concatenated minhash values themselves (no
-    digest step): exact, engine-portable, and still a plain equi-join
-    key, so candidate generation stays a hash join at any scale.
+    digest step): exact and engine-portable. Pairs come from ONE
+    bucket aggregate — group the band rows on (band, bh), keep
+    buckets with >= 2 members, expand each bucket's sorted id array
+    into its ordered pairs with JVM array expressions. The previous
+    self-equi-join computed the whole shingle->minhash pipeline TWICE
+    (the broadcast build side duplicates the subtree — no exchange
+    reuse across exchange kinds), doubling the dominant hash/aggregate
+    cost; the bucket aggregate computes it once and scales the same
+    way (candidate volume is still bounded by bucket sizes via
+    (K, B)). Result set unchanged: every unordered same-bucket pair,
+    emitted lo->hi, deduped across bands.
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
@@ -223,16 +260,24 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    x = buckets.alias("x")
-    y = buckets.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.id") < F.col("y.id")),
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -436,13 +481,19 @@ def positioned_shingles(
     exists. Never distinct: positions are unique per (id, pos) by
     construction.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    # split materialized once per row — see word_shingles (the lambda
+    # would otherwise re-run the regex per gram, O(len^2) per doc)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_ws"),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "shingle")
+    ws = F.col("_ws")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return base.select(
+        "id", F.posexplode(grams).alias("pos", "shingle")
     ).filter(F.length("shingle") > 0)
 
 
