@@ -930,23 +930,35 @@ def _canonical(col, dt):
     return col
 
 
-def _row_digest_agg(df: DataFrame, cols: list[str]):
-    """Order-insensitive multiset digest: count + sum of per-row hashes.
+def _row_digest(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive multiset digest as a 1-row DataFrame:
+    count + sum of per-row hashes.
 
-    Two 64-bit accumulators (xxhash64 with different seeds via column
-    reordering) make a forged collision astronomically unlikely while
-    keeping the check one narrow scan with NO shuffle/join.
+    Two 64-bit accumulators make a RANDOM collision astronomically
+    unlikely (~2^-128): the second, ``h2 = xxhash64(h1, seed)``, is a
+    nonlinear remix of the first — when two multisets differ but their
+    h1 sums collide by chance, their h2 sums are still independent
+    uniform values. Deriving h2 from h1 instead of re-hashing every
+    column (the round-7 shape) halves the dominant cost — hashing the
+    wide token arrays — without weakening the random-collision bound.
+    One narrow scan, NO shuffle/join.
     """
     by_name = {f.name: f.dataType for f in df.schema.fields}
     canon = [_canonical(F.col(c), by_name[c]) for c in cols]
     h1 = F.xxhash64(*canon)
-    h2 = F.xxhash64(*list(reversed(canon)), F.lit(0x5EED))
+    h2 = F.xxhash64(h1, F.lit(0x5EED))
     # decimal(38,0) accumulators: exact, no ANSI long-overflow
     return df.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(h1.cast("decimal(38,0)")).alias("d1"),
         F.sum(h2.cast("decimal(38,0)")).alias("d2"),
-    ).collect()[0]
+    )
+
+
+def _row_digest_agg(df: DataFrame, cols: list[str]):
+    """Collected form of :func:`_row_digest` (kept for callers that
+    digest one side only)."""
+    return _row_digest(df, cols).collect()[0]
 
 
 def verify_roundtrip(
@@ -967,8 +979,20 @@ def verify_roundtrip(
     decoded = decode_table(spark, out_dir)
     cols = list(original.columns)
     if not deep:
-        a = _row_digest_agg(original, cols)
-        b = _row_digest_agg(decoded.select(*cols), cols)
+        # both digests in ONE job (union of two 1-row aggregates): the
+        # original-side parquet scan and the decoded-side python decode
+        # are independent subtrees, so their stages overlap instead of
+        # running as two serial collects (guide §2.6)
+        both = (
+            _row_digest(original, cols).withColumn("_side", F.lit("o"))
+            .unionAll(
+                _row_digest(decoded.select(*cols), cols)
+                .withColumn("_side", F.lit("d"))
+            )
+            .collect()
+        )
+        a = next(r for r in both if r["_side"] == "o")
+        b = next(r for r in both if r["_side"] == "d")
         if (a["rows"], a["d1"], a["d2"]) == (b["rows"], b["d1"], b["d2"]):
             return {"rows": a["rows"], "mismatches": 0}
         # fall through to the deep check to locate the mismatch
