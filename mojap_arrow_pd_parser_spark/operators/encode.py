@@ -583,6 +583,36 @@ def done_chunk_ids(done: dict[int, dict]) -> set[int]:
 GENERATION_STRIDE = 1_000_000
 
 
+def _bucketed_shuffle(bdf: DataFrame, n_buckets: int, chunk_base: int = 0) -> DataFrame:
+    """One-bucket-per-partition shuffle for the encode mapInArrow.
+
+    Small plans (<= chunking.PROBE_MAX_BUCKETS buckets) repartition on
+    a PROBE column — an int whose Spark hash lands bucket b exactly in
+    partition b (chunking.partition_probes) — so every encode task
+    owns exactly one chunk: no birthday-collision stragglers (a plain
+    hash repartition of n buckets into n partitions leaves ~37% of
+    tasks empty while some encode 2-3 chunks serially), and no
+    pre-encode sortWithinPartitions (a full external sort of the
+    payload) because a single-bucket partition is trivially
+    contiguous. Large plans keep hash repartition + sort: the probe
+    literal array would bloat the plan, and with tasks >> cores the
+    collision tail amortizes away."""
+    from ..plans.chunking import PROBE_MAX_BUCKETS, partition_probes
+
+    if n_buckets <= PROBE_MAX_BUCKETS:
+        probes = partition_probes(n_buckets)
+        parr = F.array(*[F.lit(p) for p in probes])
+        return (
+            bdf.withColumn(
+                "_pt",
+                F.element_at(parr, F.col("_bucket") - F.lit(chunk_base) + 1),
+            )
+            .repartition(n_buckets, "_pt")
+            .drop("_pt")
+        )
+    return bdf.repartition(n_buckets, "_bucket").sortWithinPartitions("_bucket")
+
+
 def encode_table(
     spark: SparkSession,
     df: DataFrame,
@@ -690,10 +720,12 @@ def encode_table(
 
     def encode_partition(batches):
         """mapInArrow task body: batches arrive bucket-contiguous (the
-        shuffle is followed by sortWithinPartitions on the bucket id,
-        whose external sort spills to disk), so each chunk is
-        assembled, encoded and committed as soon as its last batch
-        streams in — peak working set ~1 chunk, not the partition.
+        probe repartition places exactly one bucket per partition; the
+        large-plan fallback sorts within partitions instead), so each
+        chunk is assembled, encoded and committed as soon as its last
+        batch streams in — peak working set ~1 chunk, not the
+        partition. iter_contiguous_groups raises loudly if the
+        contiguity contract is ever broken.
 
         mapInArrow is used instead of groupBy().applyInArrow because
         the latter materializes each group whole through the grouped
@@ -718,10 +750,8 @@ def encode_table(
             manifest.pop("col_nulls", None)
             yield _manifest_batch(manifest).to_batches()[0]
 
-    mdf = (
-        bdf.repartition(plan["n_chunks"], "_bucket")
-        .sortWithinPartitions("_bucket")
-        .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
+    mdf = _bucketed_shuffle(bdf, int(plan["n_chunks"]), chunk_base).mapInArrow(
+        encode_partition, schema=MANIFEST_SCHEMA
     )
     if pending:
         # mid-transaction: materialize the staged encode, but defer
@@ -1668,8 +1698,7 @@ def rewrite_clustered(
             yield _manifest_batch(manifest).to_batches()[0]
 
     (
-        bdf.repartition(int(zplan["n_chunks"]), "_bucket")
-        .sortWithinPartitions("_bucket")
+        _bucketed_shuffle(bdf, int(zplan["n_chunks"]), int(base))
         .mapInArrow(encode_partition, schema=MANIFEST_SCHEMA)
         .count()  # materialize the staged encode
     )

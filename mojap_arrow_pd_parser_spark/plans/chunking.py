@@ -408,6 +408,61 @@ def _assign_buckets_searchsorted(
     return df.mapInArrow(assign, schema=out_schema)
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (seed 42) —
+    Murmur3 x86_32 over the int's 4 little-endian bytes, all 32-bit
+    wraparound arithmetic. Pure python so the driver can derive
+    partition probes without a Spark job; parity with ``F.hash`` is
+    pinned by a test."""
+    m = 0xFFFFFFFF
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & m
+
+    k1 = (x & m) * 0xCC9E2D51 & m
+    k1 = rotl(k1, 15) * 0x1B873593 & m
+    h1 = (seed ^ k1) & m
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix with total byte length
+    h1 = (h1 ^ (h1 >> 16)) * 0x85EBCA6B & m
+    h1 = (h1 ^ (h1 >> 13)) * 0xC2B2AE35 & m
+    h1 ^= h1 >> 16
+    # Spark's hash is a SIGNED int32
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+#: above this bucket count the probe literal array would bloat the
+#: plan (the same concern as _FOLD_MAX_BOUNDARIES); hash collisions
+#: also stop mattering when tasks >> cores, so large plans keep the
+#: plain hash repartition + sort.
+PROBE_MAX_BUCKETS = 4096
+
+
+def partition_probes(n: int) -> list[int]:
+    """``probes[b]`` = an int whose Spark hash-partition id over ``n``
+    partitions is exactly ``b`` — repartitioning on the probe column
+    gives an exact 1:1 bucket->partition placement.
+
+    Why: ``repartition(n, "_bucket")`` hashes the bucket id, and with
+    n buckets into n partitions the birthday effect leaves ~37% of
+    partitions empty while some tasks encode 2-3 chunks serially
+    (guide §2.5, synthetic keys with too few distinct values) — a
+    straggler tail of ~2-3x the per-chunk time. The probe mapping
+    makes every encode task own exactly one chunk, and because a
+    partition then holds a single bucket, the pre-encode
+    sortWithinPartitions (a full external sort of the payload) is
+    unnecessary. Coupon-collector search: one pass over candidate
+    ints, ~n ln n hashes."""
+    found: dict[int, int] = {}
+    c = 0
+    while len(found) < n:
+        part = _murmur3_int32(c) % n
+        if part not in found:
+            found[part] = c
+        c += 1
+    return [found[i] for i in range(n)]
+
+
 def suggest_n_chunks(
     df: DataFrame,
     target_chunk_bytes: int | str = "256MB",

@@ -220,3 +220,60 @@ class TestShuffleShape:
         plan = plan_of(q19_salted_agg(spark, SF))
         # partial aggregate on (key, salt) then final on key
         assert plan.count("HashAggregate") >= 4
+
+
+class TestPartitionProbes:
+    """Round-8 encode shuffle: 1:1 bucket->partition via probe ints."""
+
+    def test_murmur3_parity_with_spark_hash(self, spark):
+        from mojap_arrow_pd_parser_spark.plans.chunking import _murmur3_int32
+
+        vals = list(range(-50, 200)) + [2**31 - 1, -(2**31), 987654321]
+        rows = {
+            r["x"]: r["h"]
+            for r in spark.createDataFrame([(v,) for v in vals], "x int")
+            .select("x", F.hash("x").alias("h"))
+            .collect()
+        }
+        assert all(rows[v] == _murmur3_int32(v) for v in vals)
+
+    def test_probes_place_one_bucket_per_partition(self, spark):
+        from pyspark.sql.functions import spark_partition_id
+
+        from mojap_arrow_pd_parser_spark.plans.chunking import partition_probes
+
+        for n in (1, 7, 64, 100):
+            probes = partition_probes(n)
+            assert len(set(probes)) == n
+            got = (
+                spark.createDataFrame(
+                    [(b, probes[b]) for b in range(n)], "b int, probe int"
+                )
+                .repartition(n, "probe")
+                .select("b", spark_partition_id().alias("pid"))
+                .collect()
+            )
+            assert all(r["b"] == r["pid"] for r in got)
+
+    def test_bucketed_shuffle_single_bucket_partitions(self, spark):
+        """The encode shuffle must hand each task exactly one bucket
+        (contiguity contract of iter_contiguous_groups without a
+        sortWithinPartitions)."""
+        from pyspark.sql.functions import spark_partition_id
+
+        from mojap_arrow_pd_parser_spark.operators.encode import _bucketed_shuffle
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 37).cast("int").alias("_bucket"), F.col("id")
+        )
+        out = (
+            _bucketed_shuffle(df, 37)
+            .select("_bucket", spark_partition_id().alias("pid"))
+            .distinct()
+            .collect()
+        )
+        by_pid = {}
+        for r in out:
+            by_pid.setdefault(r["pid"], set()).add(r["_bucket"])
+        assert all(len(s) == 1 for s in by_pid.values())
+        assert len(by_pid) == 37
