@@ -126,10 +126,25 @@ def bloom_from_arrow(arr) -> dict | None:
     if len(arr) == 0:
         return None
     if kind == "int":
-        vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # uint64 keys above 2^63-1 can't carry through the int64 hash
+        # domain (the probe side's key_kind excludes uint64 for the
+        # same reason): no filter rather than a failed encode
+        if pa.types.is_uint64(t):
+            try:
+                vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                return None
+        else:
+            vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
         return build_bloom_hashed(*_hash64(vals.astype(np.int64, copy=False)),
                                   n=len(vals))
-    return build_bloom(arr.to_pylist(), kind)
+    # string path: hash straight off the arrow column's object view
+    # (pandas hash_array is the same C kernel the probe side uses) —
+    # no to_pylist round trip, no per-value str() on the encode hot
+    # path; values are already str, so hash parity with
+    # _typed_values(..., "str") holds by construction
+    vals = arr.to_numpy(zero_copy_only=False)
+    return build_bloom_hashed(*_hash64(vals), n=len(vals))
 
 
 def build_bloom_hashed(h1: np.ndarray, h2: np.ndarray, n: int) -> dict | None:

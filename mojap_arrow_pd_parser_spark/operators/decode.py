@@ -101,6 +101,16 @@ def decode_table(
     full_schema = StructType.fromJson(json.loads(plan["schema_json"]))
     names = columns or [f.name for f in full_schema.fields]
     key = plan.get("key")
+    if key_range is not None or key_in is not None:
+        # a key filter against a table whose schema lacks the plan key
+        # (DataSource-written without it, empty plan key) would
+        # silently no-op and return every row — fail loudly instead
+        if not key or key not in {f.name for f in full_schema.fields}:
+            raise ValueError(
+                f"key_range/key_in require the plan key ({key!r}) to be "
+                "a column of the table schema; this table cannot serve "
+                "key lookups"
+            )
     key_added = (
         (key_range is not None or key_in is not None)
         and key and key not in names

@@ -929,15 +929,17 @@ def _finish_encode(spark, mdf, out_dir, consolidate, verb: str = "commit"):
     # Snapshot-tracking tables persist each committed verb's live view
     # as an immutable version (operators/snapshots.py) — BEFORE any GC
     # the caller runs, so retention always sees the newest snapshot.
-    if consolidate:
-        try:
-            plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
-        except (FileNotFoundError, OSError, json.JSONDecodeError):
-            plan = {}
-        if plan.get("snapshots"):
-            from .snapshots import write_snapshot
+    # Written INDEPENDENT of the consolidate flag: 'every committed
+    # verb persists its live view' must hold for consolidate=False
+    # callers too, or table_changes windows lump verbs together.
+    try:
+        plan = fsio.read_json(fsio.join(out_dir, "plan.json"))
+    except (FileNotFoundError, OSError, json.JSONDecodeError):
+        plan = {}
+    if plan.get("snapshots"):
+        from .snapshots import write_snapshot
 
-            write_snapshot(spark, out_dir, verb)
+        write_snapshot(spark, out_dir, verb)
     # Consolidate ALL LIVE verified sidecars (this run + survivors of
     # killed runs, minus compaction-superseded chunks) into one
     # queryable manifest table.
@@ -1805,9 +1807,18 @@ def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
         return int(total or 0)
     removed = 0
     for cid, fname in victims:
-        fs, p = fsio.resolve(fsio.join(out_dir, "manifest", f"{cid:05d}.json"))
-        fs.delete_file(p)
-        fs2, p2 = fsio.resolve(fsio.join(out_dir, "chunks", fname))
-        fs2.delete_file(p2)
+        # same missing-file tolerance as the distributed drop task: a
+        # victim whose sidecar lives only in a committed-but-unfolded
+        # _staging dir must not break the idempotent re-run promise
+        try:
+            fs, p = fsio.resolve(fsio.join(out_dir, "manifest", f"{cid:05d}.json"))
+            fs.delete_file(p)
+        except (FileNotFoundError, OSError):
+            pass
+        try:
+            fs2, p2 = fsio.resolve(fsio.join(out_dir, "chunks", fname))
+            fs2.delete_file(p2)
+        except (FileNotFoundError, OSError):
+            pass
         removed += 1
     return removed

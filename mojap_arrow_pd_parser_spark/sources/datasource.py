@@ -296,7 +296,13 @@ class EncodedTableWriter(DataSourceArrowWriter):
         self.key = options.get("key", "doc_id")
         plan_path = fsio.join(self.path, "plan.json")
         if overwrite:
-            for sub in ("chunks", "manifest", "manifest.parquet", "_snapshots"):
+            # _staging/_commits included: a prior table that crashed in
+            # the commit-marker window would otherwise leave committed
+            # staged sidecars visible to the NEW table's scans,
+            # referencing deleted chunk files (every read would raise
+            # "damaged")
+            for sub in ("chunks", "manifest", "manifest.parquet",
+                        "_snapshots", "_staging", "_commits"):
                 fsio.delete_dir(fsio.join(self.path, sub))
             if fsio.exists(plan_path):
                 fs, p = fsio.resolve(plan_path)
