@@ -701,16 +701,14 @@ def encode_table(
             "_bucket", (F.col("_bucket") + F.lit(int(chunk_base))).cast("int")
         )
     if resume:
-        # resume needs only ids + lineage: project the scan so a 400k-
-        # chunk table ships no col_stats/codecs JSON through the driver
-        # — and scope it to THIS generation's id range, so appended
-        # generations never mistake each other's buckets for done work
-        done = sorted(
-            cid
-            for cid in done_chunk_ids(
-                scan_done_chunks(out_dir, spark, columns=(), pending_ok=pending)
-            )
-            if chunk_base <= cid < chunk_base + n_buckets
+        # resume needs only the done ids INSIDE this generation's
+        # range (appended generations never mistake each other's
+        # buckets for done work): large tables answer with a filtered
+        # distinct collect — O(n_buckets) driver rows, not the chunk
+        # dict
+        done = _done_ids_in_range(
+            spark, out_dir, chunk_base, chunk_base + n_buckets,
+            pending_ok=pending,
         )
         if done:
             bdf = bdf.filter(~F.col("_bucket").isin(done))
@@ -896,30 +894,113 @@ _MANIFEST_FIELDS = (
 _MANIFEST_COLS = [p.strip().split()[0] for p in MANIFEST_SCHEMA.split(",")]
 
 
-def _live_manifest_df(spark, out_dir) -> DataFrame:
-    """The LIVE verified manifest as a DataFrame, assembled WITHOUT any
-    per-chunk row touching the driver (verdict r6 #4): one distributed
-    sidecar read (:func:`_sidecar_df`), verification by joining one
-    paged chunk-dir listing (names+sizes only — the same single listing
-    the distributed scan uses), and the REPLACE lineage applied as an
-    exploded anti-join instead of a driver-side set. Projected to the
-    MANIFEST_SCHEMA columns, so col_stats JSON never leaves the
-    executors."""
-    sdf = _sidecar_df(spark, out_dir).dropDuplicates(["chunk_id"])
+def _verified_sidecar_df(
+    spark, out_dir, columns: tuple | None = None, pending_ok: str | None = None
+) -> DataFrame:
+    """VERIFIED sidecar rows as a DataFrame (dedup by chunk_id) —
+    the distributed twin of ``scan_done_chunks``: one distributed
+    sidecar read (:func:`_sidecar_df`), verification by a semi-join
+    against one paged chunk-dir listing (names+sizes only). ``columns``
+    projects like :func:`scan_sidecars` (core fields always kept)."""
+    sdf = _sidecar_df(spark, out_dir, pending_ok).dropDuplicates(["chunk_id"])
+    if columns is not None:
+        proj = [
+            f for f in sdf.columns
+            if f in _SIDECAR_CORE_FIELDS or f in columns
+        ]
+        sdf = sdf.select(*proj)
     sizes = spark.createDataFrame(
         [(fn, int(sz))
          for fn, sz in fsio.list_files(fsio.join(out_dir, "chunks"))]
         or [("", -1)],
         "_file string, _sz bigint",
     )
-    ver = sdf.join(
+    return sdf.join(
         F.broadcast(sizes),
         (sdf["file"] == sizes["_file"]) & (sdf["file_bytes"] == sizes["_sz"]),
         "left_semi",
     )
+
+
+def _live_df(ver: DataFrame) -> DataFrame:
+    """Live view of a verified-sidecar DataFrame: drop every chunk a
+    verified compacted chunk superseded (the DataFrame twin of
+    :func:`live_chunks`)."""
     replaced = ver.select(F.explode("replaces").alias("_rid")).distinct()
-    live = ver.join(replaced, ver["chunk_id"] == replaced["_rid"], "left_anti")
-    return live.select(*_MANIFEST_COLS)
+    return ver.join(replaced, ver["chunk_id"] == replaced["_rid"], "left_anti")
+
+
+def _use_distributed_scan(spark, out_dir, pending_ok: str | None = None) -> bool:
+    """True when the verb paths should answer their manifest questions
+    through DataFrame aggregates/filtered collects instead of the
+    serial O(chunks) driver dict — same gate as :func:`scan_sidecars`."""
+    if spark is None:
+        return False
+    dirs = [fsio.join(out_dir, "manifest")]
+    dirs += _visible_staging_dirs(out_dir, pending_ok)
+    n = sum(
+        1 for d in dirs for fn, _sz in fsio.list_files(d)
+        if fn.endswith(".json")
+    )
+    return n >= _DISTRIBUTED_SCAN_MIN
+
+
+def _next_rewrite_id_df(ver: DataFrame) -> int:
+    """:func:`_next_rewrite_id` from a verified-sidecar DataFrame —
+    two scalar aggregates reach the driver, never the id set."""
+    gmax = ver.agg(F.max(F.col("chunk_id").cast("long"))).first()[0]
+    if gmax is None:
+        raise ValueError("empty table has no rewrite zone")
+    top = (int(gmax) // GENERATION_STRIDE) * GENERATION_STRIDE
+    zone = top + GENERATION_STRIDE // 2
+    zmax = (
+        ver.filter(F.col("chunk_id").cast("long") >= zone)
+        .agg(F.max(F.col("chunk_id").cast("long")))
+        .first()[0]
+    )
+    nxt = (int(zmax) + 1) if zmax is not None else zone
+    if nxt >= top + GENERATION_STRIDE:
+        raise RuntimeError(
+            f"rewrite-id zone [{zone}, {top + GENERATION_STRIDE}) is "
+            "exhausted; append a new generation (encode_append) to "
+            "open a fresh rewrite zone before further compaction/"
+            "delete/upsert rewrites"
+        )
+    return nxt
+
+
+def _done_ids_in_range(
+    spark, out_dir, lo: int, hi: int, pending_ok: str | None = None
+) -> list[int]:
+    """Resume view restricted to [lo, hi): the bucket ids a rerun may
+    skip. Large tables answer with ONE filtered distinct collect —
+    O(generation buckets) driver rows, never the whole chunk dict."""
+    if not _use_distributed_scan(spark, out_dir, pending_ok):
+        return sorted(
+            cid
+            for cid in done_chunk_ids(
+                scan_done_chunks(out_dir, spark, columns=(), pending_ok=pending_ok)
+            )
+            if lo <= cid < hi
+        )
+    ver = _verified_sidecar_df(spark, out_dir, columns=(), pending_ok=pending_ok)
+    ids = ver.select(F.col("chunk_id").cast("long").alias("id")).unionAll(
+        ver.select(F.explode("replaces").alias("id"))
+    )
+    rows = (
+        ids.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["id"]) for r in rows)
+
+
+def _live_manifest_df(spark, out_dir) -> DataFrame:
+    """The LIVE verified manifest as a DataFrame, assembled WITHOUT any
+    per-chunk row touching the driver (verdict r6 #4). Projected to the
+    MANIFEST_SCHEMA columns, so col_stats JSON never leaves the
+    executors."""
+    return _live_df(_verified_sidecar_df(spark, out_dir)).select(*_MANIFEST_COLS)
 
 
 def _finish_encode(spark, mdf, out_dir, consolidate, verb: str = "commit"):
@@ -1129,19 +1210,37 @@ def compact_chunks(
     """
     from ..functions.codecs import decode_array  # noqa: F401 (worker import check)
 
-    # grouping needs only n_rows + the core id/file/lineage fields
-    done = scan_done_chunks(out_dir, spark, columns=("n_rows",))
-    live = live_chunks(done)
+    # grouping needs only the LIVE chunks under min_rows (plus their
+    # n_rows/file): large tables collect exactly those candidate rows
+    # through a DataFrame filter — O(small), never the chunk dict
+    if _use_distributed_scan(spark, out_dir):
+        ver = _verified_sidecar_df(spark, out_dir, columns=("n_rows",))
+        small_rows = (
+            _live_df(ver)
+            .filter(F.col("n_rows") < int(min_rows))
+            .select("chunk_id", "n_rows", "file")
+            .collect()
+        )
+        small_meta = {
+            int(r["chunk_id"]): {"n_rows": int(r["n_rows"]), "file": r["file"]}
+            for r in small_rows
+        }
+        next_id_fn = lambda: _next_rewrite_id_df(ver)  # noqa: E731
+    else:
+        done = scan_done_chunks(out_dir, spark, columns=("n_rows",))
+        live = live_chunks(done)
+        small_meta = {
+            cid: m for cid, m in live.items() if m["n_rows"] < min_rows
+        }
+        next_id_fn = lambda: _next_rewrite_id(done)  # noqa: E731
     target_rows = target_rows or max(1, 4 * min_rows)
-    small = sorted(
-        (cid for cid, m in live.items() if m["n_rows"] < min_rows)
-    )
+    small = sorted(small_meta)
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_rows = 0
     for cid in small:
         cur.append(cid)
-        cur_rows += live[cid]["n_rows"]
+        cur_rows += small_meta[cid]["n_rows"]
         if cur_rows >= target_rows:
             groups.append(cur)
             cur, cur_rows = [], 0
@@ -1154,14 +1253,14 @@ def compact_chunks(
             consolidate, verb="compact",
         )
 
-    next_id = _next_rewrite_id(done)
+    next_id = next_id_fn()
     plan_key = fsio.read_json(fsio.join(out_dir, "plan.json")).get("key", "doc_id")
     chunks_dir = fsio.join(out_dir, "chunks")
     manifest_dir = fsio.join(out_dir, "manifest")
     work = [
         (next_id + gi, json.dumps({
             "members": g,
-            "files": [live[c]["file"] for c in g],
+            "files": [small_meta[c]["file"] for c in g],
         }))
         for gi, g in enumerate(groups)
     ]
@@ -1255,11 +1354,17 @@ def delete_rows(
     files = _live_pruned_files(spark, out_dir, plan, None, wheres)
     if files is None:
         raise IOError(f"{out_dir} has no usable sidecars; cannot delete")
-    done = scan_done_chunks(out_dir, spark, columns=())
     plan_key = plan.get("key", "doc_id")
     chunks_dir = fsio.join(out_dir, "chunks")
     manifest_dir = fsio.join(out_dir, "manifest")
-    next_id = _next_rewrite_id(done) if done else 0
+    # rewrite-id allocation: two scalar aggregates at scale, never the
+    # O(chunks) driver dict (the candidate files above already came
+    # from the distributed prune)
+    if _use_distributed_scan(spark, out_dir):
+        next_id = _next_rewrite_id_df(_verified_sidecar_df(spark, out_dir, columns=()))
+    else:
+        done = scan_done_chunks(out_dir, spark, columns=())
+        next_id = _next_rewrite_id(done) if done else 0
     work = [
         (next_id + i, json.dumps({
             "member": int(fn.split("-")[1].split(".")[0]), "file": fn,
@@ -1354,11 +1459,14 @@ def _upsert_candidate_pairs(
     key: str,
     key_type: str,
     plan: dict,
-    live: dict[int, dict],
-    base: int,
+    live_idx: DataFrame,
 ) -> DataFrame:
     """Phase-1 (key, candidate chunk) pairing for :func:`upsert_rows`,
-    O(K · matching chunks) — NEVER keys x chunks:
+    O(K · matching chunks) — NEVER keys x chunks. ``live_idx`` is the
+    candidate-chunk DataFrame (chunk_id, file, key_min, key_max,
+    new_id) — assembled distributed at scale, so per-chunk rows never
+    materialize on the driver; the joins broadcast it straight from
+    the executors:
 
     * range-plan GRID chunks: the persisted plan grid maps each batch
       key to its bucket (:func:`assign_buckets`, the same deterministic
@@ -1383,46 +1491,36 @@ def _upsert_candidate_pairs(
     # file-aligned chunks on source file identity — both take the
     # typed interval join instead
     grid_ok = plan.get("mode") is None and plan.get("boundaries") is not None
-    grid = {
-        cid: m for cid, m in live.items()
-        if grid_ok and cid % GENERATION_STRIDE < zone_off
-    }
-    rest = {cid: m for cid, m in live.items() if cid not in grid}
-    new_ids = {cid: base + i for i, cid in enumerate(sorted(live))}
-    out = None
-    if grid:
-        gdf = spark.createDataFrame(
-            [
-                (int(cid % GENERATION_STRIDE), int(cid), int(new_ids[cid]),
-                 m["file"])
-                for cid, m in grid.items()
-            ],
-            "_bucket int, old_id int, new_id int, file string",
-        )
-        kb = assign_buckets(keys.withColumnRenamed("_k", key), plan).select(
-            F.col(key).alias("_k"), F.col("_bucket")
-        )
-        out = kb.join(F.broadcast(gdf), "_bucket").drop("_bucket")
-    if rest:
-        rdf = spark.createDataFrame(
-            [
-                (int(cid), int(new_ids[cid]), m["file"],
-                 m.get("key_min", ""), m.get("key_max", ""))
-                for cid, m in rest.items()
-            ],
-            "old_id int, new_id int, file string, kmin string, kmax string",
-        )
-        cond = (
-            (F.col("_k") >= F.col("kmin").cast(key_type))
-            & (F.col("_k") <= F.col("kmax").cast(key_type))
-        )
-        rpairs = keys.join(F.broadcast(rdf), cond).drop("kmin", "kmax")
-        out = rpairs if out is None else out.unionByName(rpairs)
-    if out is None:
-        out = spark.createDataFrame(
-            [], f"_k {key_type}, old_id int, new_id int, file string"
-        )
-    return out
+    is_grid = (
+        (F.col("chunk_id") % GENERATION_STRIDE < zone_off)
+        if grid_ok else F.lit(False)
+    )
+    gdf = live_idx.filter(is_grid).select(
+        (F.col("chunk_id") % GENERATION_STRIDE).cast("int").alias("_bucket"),
+        F.col("chunk_id").cast("int").alias("old_id"),
+        F.col("new_id").cast("int").alias("new_id"),
+        "file",
+    )
+    rdf = live_idx.filter(~is_grid).select(
+        F.col("chunk_id").cast("int").alias("old_id"),
+        F.col("new_id").cast("int").alias("new_id"),
+        "file",
+        F.col("key_min").alias("kmin"),
+        F.col("key_max").alias("kmax"),
+    )
+    kb = assign_buckets(keys.withColumnRenamed("_k", key), plan).select(
+        F.col(key).alias("_k"), F.col("_bucket")
+    )
+    gpairs = kb.join(F.broadcast(gdf), "_bucket").drop("_bucket")
+    # try_cast: empty-string stats (0-row rewrite chunks) must become
+    # NULL and drop out — a plain cast raises under ANSI for numeric
+    # key types
+    cond = (
+        (F.col("_k") >= F.col("kmin").try_cast(key_type))
+        & (F.col("_k") <= F.col("kmax").try_cast(key_type))
+    )
+    rpairs = keys.join(F.broadcast(rdf), cond).drop("kmin", "kmax")
+    return gpairs.unionByName(rpairs)
 
 
 def upsert_rows(
@@ -1500,22 +1598,61 @@ def upsert_rows(
             f"plan key is {key_type}; cast the batch first — implicit "
             "key coercion silently mis-matches keys"
         )
-    done = scan_done_chunks(out_dir, spark, columns=("key_min", "key_max"))
     # a RETRY of this generation must not rewrite its own prior
     # insert chunks (append-resume would then skip re-inserting them):
-    # exclude the generation's bucket range from phase-1 candidates
+    # exclude the generation's bucket range from phase-1 candidates.
+    # Large tables assemble the candidate index as a DataFrame — the
+    # driver never holds a per-chunk dict (verdict r7 #2); small
+    # tables keep the cheap serial dict and lift it into the same
+    # DataFrame shape.
     gen_lo = int(generation) * GENERATION_STRIDE
     gen_hi = gen_lo + int(plan["n_chunks"])
-    live = {
-        cid: m for cid, m in live_chunks(done).items()
-        if not (gen_lo <= cid < gen_hi)
-    }
+    _IDX_SCHEMA = (
+        "chunk_id long, file string, key_min string, key_max string, "
+        "new_id long"
+    )
+    live_idx = None
+    if _use_distributed_scan(spark, out_dir):
+        from pyspark.sql.window import Window as _W
+
+        ver = _verified_sidecar_df(spark, out_dir, columns=("key_min", "key_max"))
+        live_base = _live_df(ver).filter(
+            ~(
+                (F.col("chunk_id") >= F.lit(gen_lo))
+                & (F.col("chunk_id") < F.lit(gen_hi))
+            )
+        )
+        if live_base.limit(1).count():
+            base = _next_rewrite_id_df(ver)
+            live_idx = live_base.select(
+                F.col("chunk_id").cast("long").alias("chunk_id"),
+                "file", "key_min", "key_max",
+            ).withColumn(
+                "new_id",
+                F.lit(int(base)) - 1 + F.row_number().over(_W.orderBy("chunk_id")),
+            )
+    else:
+        done = scan_done_chunks(out_dir, spark, columns=("key_min", "key_max"))
+        live = {
+            cid: m for cid, m in live_chunks(done).items()
+            if not (gen_lo <= cid < gen_hi)
+        }
+        if live:
+            base = _next_rewrite_id(done)
+            new_ids = {cid: base + i for i, cid in enumerate(sorted(live))}
+            live_idx = spark.createDataFrame(
+                [
+                    (int(cid), m["file"], m.get("key_min", ""),
+                     m.get("key_max", ""), int(new_ids[cid]))
+                    for cid, m in live.items()
+                ],
+                _IDX_SCHEMA,
+            )
     chunks_dir = fsio.join(out_dir, "chunks")
     manifest_dir = fsio.join(out_dir, "_staging", token)
     fsio.makedirs(manifest_dir)
-    if live:
-        base = _next_rewrite_id(done)
-        pairs = _upsert_candidate_pairs(spark, df, key, key_type, plan, live, base)
+    if live_idx is not None:
+        pairs = _upsert_candidate_pairs(spark, df, key, key_type, plan, live_idx)
         specs = pairs.groupBy("old_id", "new_id", "file").agg(
             F.collect_list("_k").alias("drop_keys")
         )
@@ -1755,11 +1892,24 @@ def gc_superseded(out_dir: str, spark: SparkSession | None = None) -> int:
     ANY retained snapshot is never collected even when the live view
     superseded it — time travel to that version must keep working.
     ``expire_snapshots`` is what releases those chunks to a later GC."""
-    done = scan_done_chunks(out_dir, spark, columns=())
-    live = live_chunks(done)
-    victims = [
-        (int(cid), m["file"]) for cid, m in done.items() if cid not in live
-    ]
+    if _use_distributed_scan(spark, out_dir):
+        # victims = verified sidecars some replacement superseded —
+        # ONE semi-join; the driver receives only the victim rows
+        # (the work list itself), never the full chunk dict
+        ver = _verified_sidecar_df(spark, out_dir, columns=())
+        replaced = ver.select(F.explode("replaces").alias("_rid")).distinct()
+        victims = [
+            (int(r["chunk_id"]), r["file"])
+            for r in ver.join(
+                replaced, ver["chunk_id"] == replaced["_rid"], "left_semi"
+            ).select("chunk_id", "file").collect()
+        ]
+    else:
+        done = scan_done_chunks(out_dir, spark, columns=())
+        live = live_chunks(done)
+        victims = [
+            (int(cid), m["file"]) for cid, m in done.items() if cid not in live
+        ]
     from .snapshots import list_snapshots, referenced_files_df, referenced_ids
 
     has_snaps = bool(victims) and bool(list_snapshots(out_dir))

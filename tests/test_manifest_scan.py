@@ -480,3 +480,85 @@ class TestDistributedConsolidation:
         assert fname in left
         # idempotent re-run deletes nothing further
         assert gc_superseded(root, spark) == 0
+
+
+class TestVerbsDriverLight:
+    """Round-8 (verdict r7 #2): on a distributed-scale table the verb
+    paths (delete / upsert / compaction / GC / encode resume) answer
+    their manifest questions through DataFrame aggregates and filtered
+    collects — the O(chunks) driver dict (scan_done_chunks) is never
+    materialized."""
+
+    N_CHUNKS = 300  # > _DISTRIBUTED_SCAN_MIN
+
+    @pytest.fixture(scope="class")
+    def big_table(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from mojap_arrow_pd_parser_spark.operators.encode import encode_table
+
+        out = str(tmp_path_factory.mktemp("verbslight") / "enc")
+        src = spark.range(3000).select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") * 2).cast("long").alias("v"),
+        )
+        encode_table(spark, src, out, key="k", n_chunks=self.N_CHUNKS)
+        return out
+
+    def test_verbs_never_materialize_chunk_dict(
+        self, spark, big_table, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        import mojap_arrow_pd_parser_spark.operators.encode as E
+        from mojap_arrow_pd_parser_spark.operators.decode import decode_table
+
+        dict_calls = []
+        real_scan = E.scan_done_chunks
+        monkeypatch.setattr(
+            E, "scan_done_chunks",
+            lambda *a, **k: dict_calls.append("scan_done_chunks")
+            or real_scan(*a, **k),
+        )
+        real_dist = E._scan_sidecars_distributed
+        monkeypatch.setattr(
+            E, "_scan_sidecars_distributed",
+            lambda *a, **k: dict_calls.append("_scan_sidecars_distributed")
+            or real_dist(*a, **k),
+        )
+
+        E.delete_rows(spark, big_table, ("k", 10, 20), consolidate=False)
+        assert dict_calls == [], f"delete materialized the dict: {dict_calls}"
+
+        batch = spark.range(5).select(
+            F.col("id").cast("long").alias("k"),
+            F.lit(999).cast("long").alias("v"),
+        )
+        E.upsert_rows(spark, batch, big_table, generation=1, consolidate=False)
+        assert dict_calls == [], f"upsert materialized the dict: {dict_calls}"
+
+        # resume scan: also dict-free while the table is at scale
+        E.encode_table(
+            spark,
+            spark.range(3000).select(
+                F.col("id").cast("long").alias("k"),
+                (F.col("id") * 2).cast("long").alias("v"),
+            ),
+            big_table, key="k", n_chunks=self.N_CHUNKS, resume=True,
+            consolidate=False,
+        )
+        assert dict_calls == [], f"resume materialized the dict: {dict_calls}"
+
+        E.compact_chunks(
+            spark, big_table, min_rows=50, consolidate=False, gc=True
+        )
+        assert dict_calls == [], f"compact/gc materialized the dict: {dict_calls}"
+
+        # and the verbs actually did their jobs
+        dec = decode_table(spark, big_table)
+        assert dec.count() == 3000 - 11
+        got = {
+            r["k"]: r["v"]
+            for r in dec.filter(F.col("k") < 5).collect()
+        }
+        assert got == {0: 999, 1: 999, 2: 999, 3: 999, 4: 999}

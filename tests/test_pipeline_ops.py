@@ -1877,9 +1877,18 @@ class TestUpsertTypedKeys:
         live = live_chunks(done)
         assert len(live) >= 6  # genuinely multi-chunk
         batch = spark.range(10).select(F.col("id").cast("int").alias("k"))
-        pairs = _upsert_candidate_pairs(
-            spark, batch, "k", "int", plan, live, _next_rewrite_id(done)
+        base = _next_rewrite_id(done)
+        new_ids = {cid: base + i for i, cid in enumerate(sorted(live))}
+        live_idx = spark.createDataFrame(
+            [
+                (int(cid), m["file"], m.get("key_min", ""),
+                 m.get("key_max", ""), int(new_ids[cid]))
+                for cid, m in live.items()
+            ],
+            "chunk_id long, file string, key_min string, key_max string, "
+            "new_id long",
         )
+        pairs = _upsert_candidate_pairs(spark, batch, "k", "int", plan, live_idx)
         n_pairs = pairs.count()
         # keys 0..9 live in ONE grid chunk -> exactly K pairs, and the
         # plan contains no nested-loop/cartesian join for the grid path
