@@ -453,7 +453,10 @@ def extract_features(
                     }
                 )
 
-    return df.mapInPandas(
+    # project BEFORE the python boundary: Spark cannot see which
+    # columns the function touches, so an unprojected mapInPandas ships
+    # (and reads from storage) every column of df (guide §4.1)
+    return df.select(id_col, payload_col, modality_col).mapInPandas(
         run, schema=f"{id_col} string, n_bytes long, feature array<float>"
     )
 
@@ -617,7 +620,7 @@ def resize_images(
                     }
                 )
 
-    imgs = df.filter(F.col("modality") == "image")
+    imgs = df.filter(F.col("modality") == "image").select(id_col, payload_col)
     return imgs.mapInPandas(
         run, schema=f"{id_col} string, out_w int, out_h int, thumb binary"
     )
@@ -696,7 +699,9 @@ def sample_frames(
                         )
                 yield pd.DataFrame(out)
 
-    vids = df.filter(F.col("modality") == "video")
+    vids = df.filter(F.col("modality") == "video").select(
+        id_col, payload_col, "duration_ms"
+    )
     return vids.mapInPandas(
         run,
         schema=(
