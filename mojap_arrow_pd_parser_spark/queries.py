@@ -28,7 +28,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle comparison depends on (UTC timestamps, Arrow exec).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Memoize the scan DATAFRAME (a lazy plan, never data): each
+    # spark.read.parquet costs ~100ms of driver round trips, and a
+    # 5-table query pays it five times per invocation. The cache lives
+    # on the session object so it dies with the session; every
+    # execution still reads the parquet bytes fresh.
+    cache = getattr(spark, "_mojap_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._mojap_table_plans = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cache[key] = df
+    return df
 
 
 #: memoized scan-spread decisions: (sf_dir, name, target) -> bool.
